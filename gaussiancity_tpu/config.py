@@ -1,0 +1,350 @@
+# -*- coding: utf-8 -*-
+"""Configuration tree for gaussiancity_tpu.
+
+A serializable dataclass mirror of the reference EasyDict config
+(reference: config.py:13-177).  Unlike the reference — which ``exec``'s a
+Python file — configs here are plain dataclasses that serialize to/from
+nested dicts (and therefore JSON), so checkpoints stay self-describing
+without executing code.
+
+Recipe presets for the three published generators (REST/background,
+BLDG/buildings, CAR) are provided as constructors at the bottom
+(reference: README.md:125-167).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_asdict(v) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _asdict(v) for k, v in obj.items()}
+    return obj
+
+
+def _fromdict(cls: Any, data: Any) -> Any:
+    if dataclasses.is_dataclass(cls) and isinstance(data, dict):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in data:
+                continue
+            v = data[f.name]
+            ftype = f.type
+            origin = getattr(ftype, "__origin__", None)
+            if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+                kwargs[f.name] = _fromdict(ftype, v)
+            elif origin is tuple and isinstance(v, (list, tuple)):
+                kwargs[f.name] = tuple(v)
+            elif isinstance(v, list):
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+    return data
+
+
+class _Base:
+    def to_dict(self) -> Dict[str, Any]:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]):
+        return _fromdict(cls, data)
+
+    @classmethod
+    def from_json(cls, s: str):
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Datasets (reference: config.py:19-74)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DatasetConfig(_Base):
+    name: str = "GOOGLE_EARTH"
+    dir: str = "./data/google-earth"
+    pin_memory: Tuple[str, ...] = ("Rt", "centers")
+    n_repeat: int = 1
+    n_cities: int = 400
+    n_views: int = 60
+    train_n_instances: Optional[int] = None
+    train_instance_range: Optional[Tuple[int, int]] = None
+    train_crop_size: Tuple[int, int] = (448, 448)
+    test_n_instances: Optional[int] = None
+    test_instance_range: Optional[Tuple[int, int]] = None
+    test_crop_size: Tuple[int, int] = (720, 405)
+    train_min_pixels: int = 64
+    train_max_points: int = 16384
+    cam_k: Tuple[float, ...] = (
+        1528.1469407006614, 0.0, 480.0,
+        0.0, 1528.1469407006614, 270.0,
+        0.0, 0.0, 1.0,
+    )
+    sensor_size: Tuple[int, int] = (960, 540)  # (W, H)
+    flip_ud: bool = False
+    n_classes: int = 8
+    proj_size: int = 2048
+    bldg_range: Tuple[int, int] = (100, 32768)
+    bldg_facade_clsid: int = 2
+    bldg_roof_clsid: int = 7
+    car_range: Optional[Tuple[int, int]] = None
+    car_clsid: Optional[int] = None
+    z_scale_special_classes: Tuple[int, ...] = (1, 5, 6)  # ROAD, WATER, ZONE
+    map_size: int = 2048
+    scale: int = 1
+    view_index_file: Optional[str] = None
+
+
+def google_earth_dataset() -> DatasetConfig:
+    return DatasetConfig()
+
+
+def kitti_360_dataset() -> DatasetConfig:
+    # reference: config.py:48-74
+    return DatasetConfig(
+        name="KITTI_360",
+        dir="./data/kitti-360/processed",
+        view_index_file="./data/kitti-360/views.json",
+        train_crop_size=(448, 224),
+        test_crop_size=(704, 376),
+        cam_k=(
+            552.554261, 0.0, 682.049453,
+            0.0, 552.554261, 238.769549,
+            0.0, 0.0, 1.0,
+        ),
+        sensor_size=(1408, 376),
+        flip_ud=True,
+        bldg_range=(100, 10000),
+        car_range=(10000, 16384),
+        car_clsid=3,
+        z_scale_special_classes=(1, 6),  # ROAD, ZONE
+        map_size=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rasterizer (TPU-native; replaces diff_gaussian_rasterization constants,
+# reference: cuda_rasterizer/config.h:15-17 + rasterizer_impl.cu capacity logic)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RasterizerConfig(_Base):
+    # TPU-native pixel tile: (8, 128) matches the f32 vreg (sublane, lane)
+    # geometry — the analogue of the reference's 16x16 CUDA block.
+    tile_h: int = 8
+    tile_w: int = 128
+    # Static per-Gaussian duplication cap: max number of tiles one Gaussian
+    # may be binned into (the reference's tiles_touched is dynamic;
+    # forward.cu:232). Gaussians overflowing the cap have their binned tile
+    # set clipped around the projected center.
+    max_tiles_per_gaussian: int = 32
+    # Static per-tile capacity: max Gaussians blended per tile, nearest-first
+    # (the reference's per-tile ranges are dynamic; rasterizer_impl.cu:101-124).
+    tile_capacity: int = 1024
+    # Blending constants (reference: forward.cu:308-324)
+    alpha_min: float = 1.0 / 255.0
+    alpha_max: float = 0.99
+    transmittance_eps: float = 1e-4
+    near_z: float = 0.2
+    # Chunk size of the k-loop in the blend kernels.
+    chunk: int = 8
+    backend: str = "auto"  # "pallas" | "xla" | "auto"
+
+
+# ---------------------------------------------------------------------------
+# Network (reference: config.py:114-143)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PTv3Config(_Base):
+    enabled: bool = True
+    order: Tuple[str, ...] = ("cord",)
+    stride: Tuple[int, ...] = (2, 2, 2, 2)
+    enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 2)
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    enc_n_head: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    enc_patch_size: Tuple[int, ...] = (1024, 1024, 1024, 1024, 1024)
+    dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    dec_channels: Tuple[int, ...] = (64, 64, 128, 256)
+    dec_n_head: Tuple[int, ...] = (4, 4, 8, 16)
+    dec_patch_size: Tuple[int, ...] = (1024, 1024, 1024, 1024)
+    mlp_ratio: float = 4.0
+    enable_cpe: bool = True
+
+
+@dataclass(frozen=True)
+class GaussianNetworkConfig(_Base):
+    scale_factor: float = 0.65
+    encoder: Optional[str] = "GLOBAL"  # "GLOBAL" | "LOCAL" | None
+    encoder_out_dim: int = 5
+    global_encoder_n_blocks: int = 6
+    pos_emd: str = "HASH_GRID"  # "HASH_GRID" | "SIN_COS"
+    hash_grid_n_levels: int = 16
+    hash_grid_level_dim: int = 8
+    hash_grid_map_size: int = 19  # log2 hashmap size (reference grid_encoder default)
+    hash_grid_base_res: int = 16
+    sin_cos_freq_bends: int = 10
+    z_dim: Optional[int] = None  # None | 256
+    mlp_hidden_dim: int = 512
+    mlp_n_shared_layers: int = 1
+    attr_factors: Dict[str, float] = field(default_factory=lambda: {"rgb": 2.0})
+    attr_n_layers: Dict[str, int] = field(default_factory=lambda: {"rgb": 1})
+    dis_n_channel_base: int = 128
+    ptv3: PTv3Config = field(default_factory=PTv3Config)
+
+
+# ---------------------------------------------------------------------------
+# Train / test (reference: config.py:148-176)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GeneratorOptim(_Base):
+    lr: float = 1e-4
+
+
+@dataclass(frozen=True)
+class DiscriminatorOptim(_Base):
+    enabled: bool = True
+    lr: float = 1e-5
+    n_warmup_iters: int = 100000
+
+
+@dataclass(frozen=True)
+class TrainConfig(_Base):
+    batch_size: int = 1
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    perceptual_loss_model: str = "vgg19"
+    perceptual_loss_layers: Tuple[str, ...] = ("relu_3_1", "relu_4_1", "relu_5_1")
+    perceptual_loss_weights: Tuple[float, ...] = (0.125, 0.25, 1.0)
+    n_epochs: int = 500
+    l1_loss_factor: float = 10.0
+    perceptual_loss_factor: float = 10.0
+    gan_loss_factor: float = 0.5
+    ckpt_save_freq: int = 25
+    generator: GeneratorOptim = field(default_factory=GeneratorOptim)
+    discriminator: DiscriminatorOptim = field(default_factory=DiscriminatorOptim)
+    # TPU-native additions
+    seed: int = 0
+    max_points: int = 16384  # static padded point budget per sample
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TestConfig(_Base):
+    test_freq: int = 1
+
+
+# ---------------------------------------------------------------------------
+# Parallelism (TPU-native; replaces utils/distributed.py NCCL/DDP)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ParallelConfig(_Base):
+    # Mesh axis sizes; -1 on data means "all remaining devices".
+    data_axis: int = -1
+    tile_axis: int = 1  # shards rasterizer pixel tiles / gaussians for giant scenes
+
+
+# ---------------------------------------------------------------------------
+# Root config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Config(_Base):
+    exp_name: str = ""
+    dataset: DatasetConfig = field(default_factory=google_earth_dataset)
+    network: GaussianNetworkConfig = field(default_factory=GaussianNetworkConfig)
+    rasterizer: RasterizerConfig = field(default_factory=RasterizerConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    output_dir: str = "./output"
+    n_workers: int = 8
+
+
+# ---------------------------------------------------------------------------
+# Recipe presets (reference: README.md:125-167)
+# ---------------------------------------------------------------------------
+
+
+def rest_recipe(dataset: str = "GOOGLE_EARTH") -> Config:
+    """Background (REST) generator: GLOBAL encoder, hash-grid, PTv3 off."""
+    ds = google_earth_dataset() if dataset == "GOOGLE_EARTH" else kitti_360_dataset()
+    ds = ds.replace(
+        train_instance_range=(0, 100),
+        test_instance_range=(0, 100),
+        train_crop_size=(640, 448),
+    )
+    net = GaussianNetworkConfig(
+        scale_factor=0.5,
+        encoder="GLOBAL",
+        encoder_out_dim=5,
+        pos_emd="HASH_GRID",
+        z_dim=None,
+        ptv3=PTv3Config(enabled=False),
+    )
+    return Config(exp_name="REST", dataset=ds, network=net)
+
+
+def bldg_recipe(dataset: str = "GOOGLE_EARTH") -> Config:
+    """Building generator: no encoder, sin/cos, per-instance z, PTv3 on."""
+    ds = google_earth_dataset() if dataset == "GOOGLE_EARTH" else kitti_360_dataset()
+    ds = ds.replace(
+        train_n_instances=1,
+        train_instance_range=(10, 16384),
+        test_n_instances=1,
+        test_instance_range=(10, 16384),
+        train_crop_size=(640, 448),
+    )
+    net = GaussianNetworkConfig(
+        scale_factor=0.65,
+        encoder=None,
+        encoder_out_dim=3,
+        pos_emd="SIN_COS",
+        z_dim=256,
+        ptv3=PTv3Config(enabled=True),
+    )
+    return Config(exp_name="BLDG", dataset=ds, network=net)
+
+
+def car_recipe() -> Config:
+    """Car generator (KITTI-360 only)."""
+    ds = kitti_360_dataset().replace(
+        train_n_instances=1,
+        train_instance_range=(10000, 16384),
+        test_n_instances=1,
+        test_instance_range=(10000, 16384),
+    )
+    net = GaussianNetworkConfig(
+        scale_factor=0.65,
+        encoder=None,
+        encoder_out_dim=3,
+        pos_emd="SIN_COS",
+        z_dim=256,
+        ptv3=PTv3Config(enabled=True),
+    )
+    return Config(exp_name="CAR", dataset=ds, network=net)

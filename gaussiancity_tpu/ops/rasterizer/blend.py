@@ -1,0 +1,275 @@
+# -*- coding: utf-8 -*-
+"""Tile-local front-to-back alpha blending with a deterministic custom VJP.
+
+Replaces the reference's ``renderCUDA`` forward and backward kernels
+(reference: cuda_rasterizer/forward.cu:238-346, backward.cu:427-581) with
+static-shape XLA scans.  The backward reproduces the reference's exact
+gradient semantics — back-to-front re-traversal with transmittance
+reconstruction ``T <- T / (1 - alpha)`` and the ``accum_rec`` suffix-color
+recurrence — but produces per-(tile, slot) gradients that flow back to
+per-Gaussian gradients through JAX's (deterministic) gather transpose,
+instead of CUDA ``atomicAdd``.
+
+The sequential per-pixel semantics mirrored exactly:
+  - a slot is *eligible* iff it holds a real entry, ``power <= 0`` and
+    ``alpha >= 1/255`` (forward.cu:308-319)
+  - an eligible slot *blends* iff the pixel is not done and
+    ``T * (1 - alpha) >= 1e-4``; otherwise it marks the pixel done
+    (forward.cu:320-324)
+  - backward only visits slots ``k < n_contrib`` (backward.cu:509-513) and
+    applies no gradient gating on the 0.99 alpha clamp (backward.cu:525-529),
+    matching the reference.
+
+A Pallas TPU kernel implementing the same contract lives in
+``blend_pallas.py``; this XLA version is the portable fallback and the
+correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BlendConsts(NamedTuple):
+    tile_h: int
+    tile_w: int
+    alpha_min: float = 1.0 / 255.0
+    alpha_max: float = 0.99
+    t_eps: float = 1e-4
+    unroll: int = 8
+
+
+def _pixel_grids(consts: BlendConsts, x0f: jnp.ndarray, y0f: jnp.ndarray):
+    TH, TW = consts.tile_h, consts.tile_w
+    iy = jnp.arange(TH, dtype=jnp.float32)
+    ix = jnp.arange(TW, dtype=jnp.float32)
+    py = y0f[:, None, None] + iy[None, :, None]  # [T, TH, 1]
+    px = x0f[:, None, None] + ix[None, None, :]  # [T, 1, TW]
+    return px, py
+
+
+def _to_k_major(a: jnp.ndarray) -> jnp.ndarray:
+    """[T, K, ...] -> [K, T, ...] for use as scan xs."""
+    return jnp.moveaxis(a, 1, 0)
+
+
+def _blend_fwd_impl(
+    consts: BlendConsts,
+    mean2d_g: jnp.ndarray,  # [T, K, 2]
+    conic_g: jnp.ndarray,  # [T, K, 3]
+    color_g: jnp.ndarray,  # [T, K, 3]
+    opacity_g: jnp.ndarray,  # [T, K]
+    kvalid: jnp.ndarray,  # [T, K] float32 0/1
+    x0f: jnp.ndarray,  # [T] float32 tile pixel origin x
+    y0f: jnp.ndarray,  # [T]
+    bg: jnp.ndarray,  # [3]
+):
+    T_tiles, K = kvalid.shape
+    TH, TW = consts.tile_h, consts.tile_w
+    px, py = _pixel_grids(consts, x0f, y0f)
+
+    xs = (
+        _to_k_major(mean2d_g),
+        _to_k_major(conic_g),
+        _to_k_major(color_g),
+        _to_k_major(opacity_g),
+        _to_k_major(kvalid),
+    )
+
+    def step(carry, x):
+        T_acc, C_acc, done, nc, k = carry
+        m2d, con, col, op, kv = x  # [T,2],[T,3],[T,3],[T],[T]
+        dx = m2d[:, 0][:, None, None] - px
+        dy = m2d[:, 1][:, None, None] - py
+        ca = con[:, 0][:, None, None]
+        cb = con[:, 1][:, None, None]
+        cc = con[:, 2][:, None, None]
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(
+            consts.alpha_max, op[:, None, None] * jnp.exp(power)
+        )
+        eligible = (kv > 0)[:, None, None] & (power <= 0.0) & (alpha >= consts.alpha_min)
+        test_T = T_acc * (1.0 - alpha)
+        live = eligible & jnp.logical_not(done)
+        blend = live & (test_T >= consts.t_eps)
+        newly_done = live & (test_T < consts.t_eps)
+        w = jnp.where(blend, alpha * T_acc, 0.0)
+        C_acc = C_acc + w[..., None] * col[:, None, None, :]
+        T_acc = jnp.where(blend, test_T, T_acc)
+        done = done | newly_done
+        nc = jnp.where(blend, k + 1, nc)
+        return (T_acc, C_acc, done, nc, k + 1), None
+
+    T0 = jnp.ones((T_tiles, TH, TW), dtype=jnp.float32)
+    C0 = jnp.zeros((T_tiles, TH, TW, 3), dtype=jnp.float32)
+    done0 = jnp.zeros((T_tiles, TH, TW), dtype=bool)
+    nc0 = jnp.zeros((T_tiles, TH, TW), dtype=jnp.int32)
+    (final_T, C, _, n_contrib, _), _ = jax.lax.scan(
+        step, (T0, C0, done0, nc0, jnp.int32(0)), xs, unroll=consts.unroll
+    )
+    out = C + final_T[..., None] * bg[None, None, None, :]
+    return out, final_T, n_contrib
+
+
+def _blend_bwd_impl(
+    consts: BlendConsts,
+    mean2d_g,
+    conic_g,
+    color_g,
+    opacity_g,
+    kvalid,
+    x0f,
+    y0f,
+    bg,
+    final_T,
+    n_contrib,
+    g_out,  # [T, TH, TW, 3] cotangent of `out`
+    g_T,  # [T, TH, TW] cotangent of `final_T` output
+):
+    T_tiles, K = kvalid.shape
+    px, py = _pixel_grids(consts, x0f, y0f)
+
+    # dL/dbg = sum_pix T_final * g  (out = C + T_final * bg)
+    d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
+    # bg also couples alpha gradients: d out/d alpha via T_final, plus the
+    # explicit final_T output cotangent.
+    bg_dot_g = jnp.einsum("c,thwc->thw", bg, g_out) + g_T
+
+    xs = (
+        _to_k_major(mean2d_g)[::-1],
+        _to_k_major(conic_g)[::-1],
+        _to_k_major(color_g)[::-1],
+        _to_k_major(opacity_g)[::-1],
+        _to_k_major(kvalid)[::-1],
+    )
+
+    def step(carry, x):
+        T_cur, accum_rec, last_alpha, last_color, k = carry
+        m2d, con, col, op, kv = x
+        dx = m2d[:, 0][:, None, None] - px
+        dy = m2d[:, 1][:, None, None] - py
+        ca = con[:, 0][:, None, None]
+        cb = con[:, 1][:, None, None]
+        cc = con[:, 2][:, None, None]
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        G = jnp.exp(power)
+        alpha = jnp.minimum(consts.alpha_max, op[:, None, None] * G)
+        ok = (
+            (kv > 0)[:, None, None]
+            & (k < n_contrib)
+            & (power <= 0.0)
+            & (alpha >= consts.alpha_min)
+        )
+        okf = ok.astype(jnp.float32)
+        one_m_alpha = jnp.where(ok, 1.0 - alpha, 1.0)
+        T_cur = T_cur / one_m_alpha  # T before blending this slot
+
+        # accum_rec recurrence (backward.cu:536-541)
+        accum_rec = jnp.where(
+            ok[..., None],
+            last_alpha[..., None] * last_color
+            + (1.0 - last_alpha[..., None]) * accum_rec,
+            accum_rec,
+        )
+        col_b = col[:, None, None, :]  # [T,1,1,3]
+        # dL/dcolor of this slot: sum over pixels of alpha*T*g
+        w_pix = okf * alpha * T_cur  # [T,TH,TW]
+        d_col = jnp.einsum("thw,thwc->tc", w_pix, g_out)
+
+        dL_dalpha = T_cur * jnp.einsum(
+            "thwc,thwc->thw", col_b - accum_rec, g_out
+        )
+        dL_dalpha = dL_dalpha - (final_T / one_m_alpha) * bg_dot_g
+        dL_dalpha = okf * dL_dalpha
+
+        last_alpha = jnp.where(ok, alpha, last_alpha)
+        last_color = jnp.where(ok[..., None], jnp.broadcast_to(
+            col_b, last_color.shape), last_color)
+
+        # alpha = min(0.99, op*G): no clamp gating, matching backward.cu:525
+        dL_dG = op[:, None, None] * dL_dalpha
+        gdx = G * dx
+        gdy = G * dy
+        d_mx = jnp.sum(dL_dG * (-gdx * ca - gdy * cb), axis=(1, 2))
+        d_my = jnp.sum(dL_dG * (-gdy * cc - gdx * cb), axis=(1, 2))
+        d_ca = jnp.sum(-0.5 * gdx * dx * dL_dG, axis=(1, 2))
+        d_cb = jnp.sum(-gdx * dy * dL_dG, axis=(1, 2))
+        d_cc = jnp.sum(-0.5 * gdy * dy * dL_dG, axis=(1, 2))
+        d_op = jnp.sum(G * dL_dalpha, axis=(1, 2))
+
+        ys = (
+            jnp.stack([d_mx, d_my], axis=-1),
+            jnp.stack([d_ca, d_cb, d_cc], axis=-1),
+            d_col,
+            d_op,
+        )
+        return (T_cur, accum_rec, last_alpha, last_color, k - 1), ys
+
+    TH, TW = consts.tile_h, consts.tile_w
+    carry0 = (
+        final_T,
+        jnp.zeros((T_tiles, TH, TW, 3), dtype=jnp.float32),
+        jnp.zeros((T_tiles, TH, TW), dtype=jnp.float32),
+        jnp.zeros((T_tiles, TH, TW, 3), dtype=jnp.float32),
+        jnp.int32(K - 1),
+    )
+    _, (d_m2d, d_con, d_col, d_op) = jax.lax.scan(
+        step, carry0, xs, unroll=consts.unroll
+    )
+    # ys are stacked k-major in reverse order: flip and move to [T, K, ...]
+    d_m2d = jnp.moveaxis(d_m2d[::-1], 0, 1)
+    d_con = jnp.moveaxis(d_con[::-1], 0, 1)
+    d_col = jnp.moveaxis(d_col[::-1], 0, 1)
+    d_op = jnp.moveaxis(d_op[::-1], 0, 1)
+    return d_m2d, d_con, d_col, d_op, d_bg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def blend_tiles(
+    consts: BlendConsts,
+    mean2d_g: jnp.ndarray,
+    conic_g: jnp.ndarray,
+    color_g: jnp.ndarray,
+    opacity_g: jnp.ndarray,
+    kvalid: jnp.ndarray,
+    x0f: jnp.ndarray,
+    y0f: jnp.ndarray,
+    bg: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blend per-tile gathered Gaussians. Returns (out [T,TH,TW,3],
+    final_T [T,TH,TW])."""
+    out, final_T, _ = _blend_fwd_impl(
+        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
+    )
+    return out, final_T
+
+
+def _blend_tiles_fwd(consts, mean2d_g, conic_g, color_g, opacity_g, kvalid,
+                     x0f, y0f, bg):
+    out, final_T, n_contrib = _blend_fwd_impl(
+        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
+    )
+    res = (mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
+           final_T, n_contrib)
+    return (out, final_T), res
+
+
+def _blend_tiles_bwd(consts, res, cts):
+    (mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
+     final_T, n_contrib) = res
+    g_out, g_T = cts
+    d_m2d, d_con, d_col, d_op, d_bg = _blend_bwd_impl(
+        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
+        final_T, n_contrib, g_out, g_T,
+    )
+    zeros_kv = jnp.zeros_like(kvalid)
+    zeros_x0 = jnp.zeros_like(x0f)
+    zeros_y0 = jnp.zeros_like(y0f)
+    return (d_m2d, d_con, d_col, d_op, zeros_kv, zeros_x0, zeros_y0, d_bg)
+
+
+blend_tiles.defvjp(_blend_tiles_fwd, _blend_tiles_bwd)
