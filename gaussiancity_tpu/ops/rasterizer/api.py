@@ -88,6 +88,9 @@ def rasterize(
     x0f = ((tid % n_tx) * cfg.tile_w).astype(jnp.float32)
     y0f = ((tid // n_tx) * cfg.tile_h).astype(jnp.float32)
 
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     consts = blend.BlendConsts(
         tile_h=cfg.tile_h,
         tile_w=cfg.tile_w,
@@ -95,6 +98,8 @@ def rasterize(
         alpha_max=cfg.alpha_max,
         t_eps=cfg.transmittance_eps,
         unroll=cfg.chunk,
+        backend=backend,
+        n_tx=n_tx,
     )
     tiles_out, tiles_T = blend.blend_tiles(
         consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg

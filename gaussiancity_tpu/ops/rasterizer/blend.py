@@ -41,6 +41,8 @@ class BlendConsts(NamedTuple):
     alpha_max: float = 0.99
     t_eps: float = 1e-4
     unroll: int = 8
+    backend: str = "xla"  # "xla" | "pallas"
+    n_tx: int = 1  # tiles per row (pallas backend derives origins from it)
 
 
 def _pixel_grids(consts: BlendConsts, x0f: jnp.ndarray, y0f: jnp.ndarray):
@@ -228,6 +230,25 @@ def _blend_bwd_impl(
     return d_m2d, d_con, d_col, d_op, d_bg
 
 
+def _dispatch_fwd(consts, mean2d_g, conic_g, color_g, opacity_g, kvalid,
+                  x0f, y0f, bg):
+    """Run the fwd on the configured backend; uniform return layout
+    (out [T,TH,TW,3] incl. background, final_T, n_contrib)."""
+    if consts.backend == "pallas":
+        from gaussiancity_tpu.ops.rasterizer import blend_pallas
+
+        counts = jnp.sum(kvalid, axis=1).astype(jnp.int32)
+        attrs = blend_pallas.pack_attrs(mean2d_g, conic_g, color_g, opacity_g)
+        C, final_T, n_contrib = blend_pallas.blend_tiles_pallas_fwd(
+            consts, consts.n_tx, attrs, counts
+        )
+        out = jnp.moveaxis(C, 1, -1) + final_T[..., None] * bg[None, None, None, :]
+        return out, final_T, n_contrib
+    return _blend_fwd_impl(
+        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def blend_tiles(
     consts: BlendConsts,
@@ -242,7 +263,7 @@ def blend_tiles(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Blend per-tile gathered Gaussians. Returns (out [T,TH,TW,3],
     final_T [T,TH,TW])."""
-    out, final_T, _ = _blend_fwd_impl(
+    out, final_T, _ = _dispatch_fwd(
         consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
     )
     return out, final_T
@@ -250,7 +271,7 @@ def blend_tiles(
 
 def _blend_tiles_fwd(consts, mean2d_g, conic_g, color_g, opacity_g, kvalid,
                      x0f, y0f, bg):
-    out, final_T, n_contrib = _blend_fwd_impl(
+    out, final_T, n_contrib = _dispatch_fwd(
         consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
     )
     res = (mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
@@ -262,10 +283,23 @@ def _blend_tiles_bwd(consts, res, cts):
     (mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
      final_T, n_contrib) = res
     g_out, g_T = cts
-    d_m2d, d_con, d_col, d_op, d_bg = _blend_bwd_impl(
-        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
-        final_T, n_contrib, g_out, g_T,
-    )
+    if consts.backend == "pallas":
+        from gaussiancity_tpu.ops.rasterizer import blend_pallas
+
+        counts = jnp.sum(kvalid, axis=1).astype(jnp.int32)
+        attrs = blend_pallas.pack_attrs(mean2d_g, conic_g, color_g, opacity_g)
+        d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
+        bg_dot_g = jnp.einsum("c,thwc->thw", bg, g_out) + g_T
+        grads = blend_pallas.blend_tiles_pallas_bwd(
+            consts, consts.n_tx, attrs, counts,
+            jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib,
+        )
+        d_m2d, d_con, d_col, d_op = blend_pallas.unpack_grads(grads)
+    else:
+        d_m2d, d_con, d_col, d_op, d_bg = _blend_bwd_impl(
+            consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f,
+            bg, final_T, n_contrib, g_out, g_T,
+        )
     zeros_kv = jnp.zeros_like(kvalid)
     zeros_x0 = jnp.zeros_like(x0f)
     zeros_y0 = jnp.zeros_like(y0f)

@@ -1,20 +1,25 @@
 # -*- coding: utf-8 -*-
 """Pallas TPU kernels for tile-local alpha blending (fwd + bwd).
 
-Same contract and exact same sequential semantics as ``blend.py`` (which is
-the portable XLA fallback and correctness oracle); this version runs one grid
-program per pixel tile, keeps the (T, C) blend state in vregs, streams the
-per-tile Gaussian list chunk-by-chunk from VMEM, and — unlike the XLA scan —
-**terminates the k-loop early** per tile once the tile's Gaussian count is
-exhausted or every pixel is saturated, which is where the reference's CUDA
-kernel gets its speed (forward.cu:282-336).
+Same contract and exact sequential semantics as the XLA scan in ``blend.py``
+(the portable fallback and correctness oracle), but one grid program per
+pixel tile with the (T, C) blend state held in vregs, and **early exit**: the
+k-loop stops at the tile's Gaussian count or when every pixel saturates —
+where the reference CUDA kernel gets its speed (forward.cu:238-346).
 
-Gradients are written per (tile, slot) and reduced to per-Gaussian grads by
-the caller's gather-transpose — deterministic, no atomics
-(vs. backward.cu:547-578).
+Layout: per-tile Gaussian attributes are packed [T, NC, 16, 128] — the K
+slot axis is split into NC chunks of 128 slots; each chunk is one (16, 128)
+f32 VMEM tile (attribute rows on sublanes, slots on lanes), so the dynamic
+k-loop indexes whole pages and never needs an unaligned lane slice.
+Rows: 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6..8 rgb
+(9..15 spare).  Gradients are returned in the same layout.
 
-Tile geometry is (tile_h, tile_w) = (8, 128) by default: exactly one f32
-vreg per per-pixel quantity.
+Within a chunk, slots are processed in groups of ``SUB`` (static lane
+slices): the expensive math (exp, conic quadratic) is vectorized over
+(SUB, TH, TW); only the cheap transmittance recurrence runs sequentially.
+
+Gradients are per (tile, slot) and reduced to per-Gaussian by the caller's
+gather transpose — deterministic, no atomics (vs. backward.cu:547-578).
 """
 
 from __future__ import annotations
@@ -29,60 +34,115 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaussiancity_tpu.ops.rasterizer.blend import BlendConsts
 
+ATTR_ROWS = 16
+SUB = 8  # slots vectorized per inner group
+
+
+def default_page() -> int:
+    # 128-slot pages = one (16, 128) f32 VMEM tile on TPU; interpret mode
+    # (CPU tests) uses small pages to keep the unrolled body compilable.
+    return 128 if jax.default_backend() == "tpu" else 16
+ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OP, ROW_CR, ROW_CG, ROW_CB2 = range(9)
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def pack_attrs(mean2d_g, conic_g, color_g, opacity_g, page=None) -> jnp.ndarray:
+    """[T,K,2],[T,K,3],[T,K,3],[T,K] -> [T, K/page, 16, page] packed f32."""
+    page = page or default_page()
+    T, K, _ = mean2d_g.shape
+    assert K % page == 0, "tile_capacity must be a multiple of the page size"
+    rows = [
+        mean2d_g[..., 0], mean2d_g[..., 1],
+        conic_g[..., 0], conic_g[..., 1], conic_g[..., 2],
+        opacity_g,
+        color_g[..., 0], color_g[..., 1], color_g[..., 2],
+    ]
+    packed = jnp.stack(rows, axis=1)  # [T, 9, K]
+    pad = jnp.zeros((T, ATTR_ROWS - len(rows), K), dtype=jnp.float32)
+    packed = jnp.concatenate([packed.astype(jnp.float32), pad], axis=1)
+    # [T, 16, K] -> [T, 16, NC, page] -> [T, NC, 16, page]
+    packed = packed.reshape(T, ATTR_ROWS, K // page, page)
+    return packed.transpose(0, 2, 1, 3)
+
+
+def unpack_grads(g: jnp.ndarray):
+    """[T, NC, 16, 128] -> (d_mean2d [T,K,2], d_conic [T,K,3],
+    d_color [T,K,3], d_opacity [T,K])."""
+    T, NC, _, page = g.shape
+    g = g.transpose(0, 2, 1, 3).reshape(T, ATTR_ROWS, NC * page)
+    d_m2d = jnp.stack([g[:, ROW_MX], g[:, ROW_MY]], axis=-1)
+    d_con = jnp.stack([g[:, ROW_CA], g[:, ROW_CB], g[:, ROW_CC]], axis=-1)
+    d_col = jnp.stack([g[:, ROW_CR], g[:, ROW_CG], g[:, ROW_CB2]], axis=-1)
+    d_op = g[:, ROW_OP]
+    return d_m2d, d_con, d_col, d_op
+
+
+def _slot_values(consts, attrs, j, k, count, px, py):
+    """Per-slot alpha/eligibility. ``attrs`` is the (16, CHUNK) chunk value;
+    ``j`` a static lane index. All per-pixel math on (TH, TW) vregs; slot
+    attributes are scalar lane extracts. Returns (alpha_e [TH,TW] with
+    ineligible pixels zeroed, G, dx, dy)."""
+    mx = attrs[ROW_MX, j]
+    my = attrs[ROW_MY, j]
+    ca = attrs[ROW_CA, j]
+    cb = attrs[ROW_CB, j]
+    cc = attrs[ROW_CC, j]
+    op = attrs[ROW_OP, j]
+    dx = mx - px
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    alpha = jnp.minimum(consts.alpha_max, op * G)
+    eligible = (k < count) & (power <= 0.0) & (alpha >= consts.alpha_min)
+    alpha_e = jnp.where(eligible, alpha, 0.0)
+    return alpha_e, G, dx, dy
+
+
 def _fwd_kernel(consts: BlendConsts, n_tx: int,
-                counts_ref,  # SMEM [T] int32 (scalar prefetch)
-                m2d_ref, con_ref, col_ref, op_ref,  # VMEM [1, K, c]
-                out_ref, t_ref, nc_ref,  # VMEM [1, 3, TH, TW], [1, TH, TW], [1, TH, TW]
+                counts_ref,  # scalar prefetch [T] int32
+                attrs_ref,  # VMEM [1, NC, 16, 128]
+                out_ref,  # VMEM [1, 3, TH, TW]
+                t_ref,  # VMEM [1, TH, TW]
+                nc_ref,  # VMEM [1, TH, TW] int32
                 ):
     TH, TW = consts.tile_h, consts.tile_w
-    CK = consts.unroll
-    K = m2d_ref.shape[1]
+    CHUNK = attrs_ref.shape[3]
     pid = pl.program_id(0)
     count = counts_ref[pid]
 
     x0 = ((pid % n_tx) * TW).astype(jnp.float32)
     y0 = ((pid // n_tx) * TH).astype(jnp.float32)
-    px = x0 + jax.lax.broadcasted_iota(jnp.float32, (TH, TW), 1)
-    py = y0 + jax.lax.broadcasted_iota(jnp.float32, (TH, TW), 0)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
 
     def chunk_body(state):
-        k0, T_acc, C_r, C_g, C_b, nc, done = state
-        m2d = m2d_ref[0, pl.ds(k0, CK), :]  # [CK, 2]
-        con = con_ref[0, pl.ds(k0, CK), :]  # [CK, 3]
-        col = col_ref[0, pl.ds(k0, CK), :]  # [CK, 3]
-        op = op_ref[0, pl.ds(k0, CK)]  # [CK]
-        for j in range(CK):
-            k = k0 + j
-            dx = m2d[j, 0] - px
-            dy = m2d[j, 1] - py
-            ca, cb, cc = con[j, 0], con[j, 1], con[j, 2]
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(consts.alpha_max, op[j] * jnp.exp(power))
-            eligible = (
-                (k < count)
-                & (power <= 0.0)
-                & (alpha >= consts.alpha_min)
-            )
-            test_T = T_acc * (1.0 - alpha)
-            live = eligible & jnp.logical_not(done)
+        ci, T_acc, C_r, C_g, C_b, nc, done = state
+        attrs = attrs_ref[0, ci]  # (16, CHUNK)
+        k_base = ci * CHUNK
+        for j in range(CHUNK):
+            k = k_base + j
+            a_j, _, _, _ = _slot_values(consts, attrs, j, k, count, px, py)
+            test_T = T_acc * (1.0 - a_j)
+            # ``done`` is carried as a f32 0/1 mask (Mosaic cannot yield i1
+            # vectors from loops).
+            live = (a_j > 0.0) & (done == 0.0)
             blend_m = live & (test_T >= consts.t_eps)
-            done = done | (live & (test_T < consts.t_eps))
-            w = jnp.where(blend_m, alpha * T_acc, 0.0)
-            C_r = C_r + w * col[j, 0]
-            C_g = C_g + w * col[j, 1]
-            C_b = C_b + w * col[j, 2]
+            done = jnp.where(live & (test_T < consts.t_eps), 1.0, done)
+            w = jnp.where(blend_m, a_j * T_acc, 0.0)
+            C_r = C_r + w * attrs[ROW_CR, j]
+            C_g = C_g + w * attrs[ROW_CG, j]
+            C_b = C_b + w * attrs[ROW_CB2, j]
             T_acc = jnp.where(blend_m, test_T, T_acc)
             nc = jnp.where(blend_m, k + 1, nc)
-        return (k0 + CK, T_acc, C_r, C_g, C_b, nc, done)
+        return (ci + 1, T_acc, C_r, C_g, C_b, nc, done)
 
     def chunk_cond(state):
-        k0, T_acc, *_rest, done = state
-        return (k0 < count) & jnp.logical_not(jnp.all(done))
+        ci = state[0]
+        done = state[6]
+        return (ci * CHUNK < count) & (jnp.min(done) == 0.0)
 
     zero = jnp.zeros((TH, TW), dtype=jnp.float32)
     init = (
@@ -90,7 +150,7 @@ def _fwd_kernel(consts: BlendConsts, n_tx: int,
         jnp.ones((TH, TW), dtype=jnp.float32),
         zero, zero, zero,
         jnp.zeros((TH, TW), dtype=jnp.int32),
-        jnp.zeros((TH, TW), dtype=jnp.bool_),
+        jnp.zeros((TH, TW), dtype=jnp.float32),
     )
     _, T_acc, C_r, C_g, C_b, nc, _ = jax.lax.while_loop(
         chunk_cond, chunk_body, init
@@ -105,26 +165,19 @@ def _fwd_kernel(consts: BlendConsts, n_tx: int,
 def blend_tiles_pallas_fwd(
     consts: BlendConsts,
     n_tx: int,
-    mean2d_g: jnp.ndarray,  # [T, K, 2]
-    conic_g: jnp.ndarray,  # [T, K, 3]
-    color_g: jnp.ndarray,  # [T, K, 3]
-    opacity_g: jnp.ndarray,  # [T, K]
+    attrs: jnp.ndarray,  # [T, NC, 16, 128] packed
     counts: jnp.ndarray,  # [T] int32
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (C [T,3,TH,TW] — WITHOUT background, final_T [T,TH,TW],
-    n_contrib [T,TH,TW])."""
-    T_tiles, K, _ = mean2d_g.shape
+    n_contrib [T,TH,TW] int32)."""
+    T_tiles, NC, _, CHUNK = attrs.shape
     TH, TW = consts.tile_h, consts.tile_w
-    assert K % consts.unroll == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T_tiles,),
         in_specs=[
-            pl.BlockSpec((1, K, 2), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 3, TH, TW), lambda i, *_: (i, 0, 0, 0)),
@@ -143,29 +196,28 @@ def blend_tiles_pallas_fwd(
         out_shape=out_shapes,
         interpret=_use_interpret(),
     )
-    C, final_T, nc = fn(counts, mean2d_g, conic_g, color_g, opacity_g)
-    return C, final_T, nc
+    return fn(counts, attrs)
 
 
 def _bwd_kernel(consts: BlendConsts, n_tx: int,
-                counts_ref,  # SMEM [T]
-                m2d_ref, con_ref, col_ref, op_ref,  # VMEM [1, K, c]
+                counts_ref,  # scalar prefetch [T]
+                attrs_ref,  # VMEM [1, NC, 16, 128]
                 gout_ref,  # VMEM [1, 3, TH, TW]
-                bgg_ref,  # VMEM [1, TH, TW]  (bg·g + g_T)
+                bgg_ref,  # VMEM [1, TH, TW]  (bg . g + g_T)
                 ft_ref,  # VMEM [1, TH, TW] final_T
                 nc_ref,  # VMEM [1, TH, TW] n_contrib
-                dm2d_ref, dcon_ref, dcol_ref, dop_ref,  # VMEM [1, K, c] outputs
+                grads_ref,  # VMEM [1, NC, 16, 128] output
                 ):
     TH, TW = consts.tile_h, consts.tile_w
-    CK = consts.unroll
-    K = m2d_ref.shape[1]
+    NC = attrs_ref.shape[1]
+    CHUNK = attrs_ref.shape[3]
     pid = pl.program_id(0)
     count = counts_ref[pid]
 
     x0 = ((pid % n_tx) * TW).astype(jnp.float32)
     y0 = ((pid // n_tx) * TH).astype(jnp.float32)
-    px = x0 + jax.lax.broadcasted_iota(jnp.float32, (TH, TW), 1)
-    py = y0 + jax.lax.broadcasted_iota(jnp.float32, (TH, TW), 0)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
 
     g_r = gout_ref[0, 0]
     g_g = gout_ref[0, 1]
@@ -174,85 +226,65 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
     final_T = ft_ref[0]
     nc = nc_ref[0]
 
-    # Zero all grad slots first (the loop may early-exit).
-    dm2d_ref[0] = jnp.zeros((K, 2), dtype=jnp.float32)
-    dcon_ref[0] = jnp.zeros((K, 3), dtype=jnp.float32)
-    dcol_ref[0] = jnp.zeros((K, 3), dtype=jnp.float32)
-    dop_ref[0] = jnp.zeros((K,), dtype=jnp.float32)
+    grads_ref[0] = jnp.zeros((NC, ATTR_ROWS, CHUNK), dtype=jnp.float32)
 
-    # Start at the last chunk that can contain a contributor.
-    n_chunks = (count + CK - 1) // CK
+    n_chunks = (count + CHUNK - 1) // CHUNK
 
     def chunk_body(state):
         ci, T_cur, ar_r, ar_g, ar_b, la, lc_r, lc_g, lc_b = state
-        k0 = ci * CK
-        m2d = m2d_ref[0, pl.ds(k0, CK), :]
-        con = con_ref[0, pl.ds(k0, CK), :]
-        col = col_ref[0, pl.ds(k0, CK), :]
-        op = op_ref[0, pl.ds(k0, CK)]
-
-        d_m2d_rows = []
-        d_con_rows = []
-        d_col_rows = []
-        d_op_rows = []
-        for j in reversed(range(CK)):
-            k = k0 + j
-            dx = m2d[j, 0] - px
-            dy = m2d[j, 1] - py
-            ca, cb, cc = con[j, 0], con[j, 1], con[j, 2]
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            G = jnp.exp(power)
-            alpha = jnp.minimum(consts.alpha_max, op[j] * G)
-            ok = (
-                (k < count)
-                & (k < nc)
-                & (power <= 0.0)
-                & (alpha >= consts.alpha_min)
+        attrs = attrs_ref[0, ci]  # (16, CHUNK)
+        k_base = ci * CHUNK
+        for j in reversed(range(CHUNK)):
+            k = k_base + j
+            a_raw, G, dx, dy = _slot_values(
+                consts, attrs, j, k, count, px, py
             )
+            a_j = jnp.where(k < nc, a_raw, 0.0)
+            ok = a_j > 0.0
             okf = ok.astype(jnp.float32)
-            one_m_alpha = jnp.where(ok, 1.0 - alpha, 1.0)
+            one_m_alpha = jnp.where(ok, 1.0 - a_j, 1.0)
             T_cur = T_cur / one_m_alpha
-
             ar_r = jnp.where(ok, la * lc_r + (1.0 - la) * ar_r, ar_r)
             ar_g = jnp.where(ok, la * lc_g + (1.0 - la) * ar_g, ar_g)
             ar_b = jnp.where(ok, la * lc_b + (1.0 - la) * ar_b, ar_b)
-
-            w_pix = okf * alpha * T_cur
-            d_col_rows.append(jnp.stack([
-                jnp.sum(w_pix * g_r), jnp.sum(w_pix * g_g),
-                jnp.sum(w_pix * g_b)]))
-
+            w_pix = okf * a_j * T_cur
+            cr_j = attrs[ROW_CR, j]
+            cg_j = attrs[ROW_CG, j]
+            cb_j = attrs[ROW_CB2, j]
             dL_dalpha = T_cur * (
-                (col[j, 0] - ar_r) * g_r
-                + (col[j, 1] - ar_g) * g_g
-                + (col[j, 2] - ar_b) * g_b
+                (cr_j - ar_r) * g_r
+                + (cg_j - ar_g) * g_g
+                + (cb_j - ar_b) * g_b
             )
-            dL_dalpha = okf * (dL_dalpha - (final_T / one_m_alpha) * bg_dot_g)
+            dL_dalpha = okf * (
+                dL_dalpha - (final_T / one_m_alpha) * bg_dot_g
+            )
+            la = jnp.where(ok, a_j, la)
+            lc_r = jnp.where(ok, cr_j, lc_r)
+            lc_g = jnp.where(ok, cg_j, lc_g)
+            lc_b = jnp.where(ok, cb_j, lc_b)
 
-            la = jnp.where(ok, alpha, la)
-            lc_r = jnp.where(ok, col[j, 0], lc_r)
-            lc_g = jnp.where(ok, col[j, 1], lc_g)
-            lc_b = jnp.where(ok, col[j, 2], lc_b)
-
-            dL_dG = op[j] * dL_dalpha
+            op = attrs[ROW_OP, j]
+            ca = attrs[ROW_CA, j]
+            cb = attrs[ROW_CB, j]
+            cc = attrs[ROW_CC, j]
+            dL_dG = op * dL_dalpha
             gdx = G * dx
             gdy = G * dy
-            d_m2d_rows.append(jnp.stack([
-                jnp.sum(dL_dG * (-gdx * ca - gdy * cb)),
-                jnp.sum(dL_dG * (-gdy * cc - gdx * cb)),
-            ]))
-            d_con_rows.append(jnp.stack([
-                jnp.sum(-0.5 * gdx * dx * dL_dG),
-                jnp.sum(-gdx * dy * dL_dG),
-                jnp.sum(-0.5 * gdy * dy * dL_dG),
-            ]))
-            d_op_rows.append(jnp.sum(G * dL_dalpha))
+            # Scalar stores to VMEM are not supported by Mosaic; store each
+            # reduction as a (1, 1) block at a static (row, lane) offset.
+            def _put(row, val, _j=j, _ci=ci):
+                grads_ref[0, _ci, row: row + 1, _j: _j + 1] = val.reshape(1, 1)
 
-        # rows were appended j = CK-1 .. 0; reverse to slot order.
-        dm2d_ref[0, pl.ds(k0, CK), :] = jnp.stack(d_m2d_rows[::-1])
-        dcon_ref[0, pl.ds(k0, CK), :] = jnp.stack(d_con_rows[::-1])
-        dcol_ref[0, pl.ds(k0, CK), :] = jnp.stack(d_col_rows[::-1])
-        dop_ref[0, pl.ds(k0, CK)] = jnp.stack(d_op_rows[::-1])
+            _put(ROW_MX, jnp.sum(dL_dG * (-gdx * ca - gdy * cb)))
+            _put(ROW_MY, jnp.sum(dL_dG * (-gdy * cc - gdx * cb)))
+            _put(ROW_CA, jnp.sum(-0.5 * gdx * dx * dL_dG))
+            _put(ROW_CB, jnp.sum(-gdx * dy * dL_dG))
+            _put(ROW_CC, jnp.sum(-0.5 * gdy * dy * dL_dG))
+            _put(ROW_OP, jnp.sum(G * dL_dalpha))
+            _put(ROW_CR, jnp.sum(w_pix * g_r))
+            _put(ROW_CG, jnp.sum(w_pix * g_g))
+            _put(ROW_CB2, jnp.sum(w_pix * g_b))
         return (ci - 1, T_cur, ar_r, ar_g, ar_b, la, lc_r, lc_g, lc_b)
 
     def chunk_cond(state):
@@ -266,46 +298,37 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
 def blend_tiles_pallas_bwd(
     consts: BlendConsts,
     n_tx: int,
-    mean2d_g, conic_g, color_g, opacity_g,
-    counts,
-    g_out,  # [T, 3, TH, TW]
-    bg_dot_g,  # [T, TH, TW]
-    final_T,  # [T, TH, TW]
-    n_contrib,  # [T, TH, TW]
-):
-    T_tiles, K, _ = mean2d_g.shape
+    attrs: jnp.ndarray,  # [T, NC, 16, 128]
+    counts: jnp.ndarray,  # [T]
+    g_out: jnp.ndarray,  # [T, 3, TH, TW]
+    bg_dot_g: jnp.ndarray,  # [T, TH, TW]
+    final_T: jnp.ndarray,  # [T, TH, TW]
+    n_contrib: jnp.ndarray,  # [T, TH, TW] int32
+) -> jnp.ndarray:
+    """Returns packed grads [T, NC, 16, 128]."""
+    T_tiles, NC, _, CHUNK = attrs.shape
     TH, TW = consts.tile_h, consts.tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T_tiles,),
         in_specs=[
-            pl.BlockSpec((1, K, 2), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, 3, TH, TW), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, K, 2), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, K), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
         ],
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((T_tiles, K, 2), jnp.float32),
-        jax.ShapeDtypeStruct((T_tiles, K, 3), jnp.float32),
-        jax.ShapeDtypeStruct((T_tiles, K, 3), jnp.float32),
-        jax.ShapeDtypeStruct((T_tiles, K), jnp.float32),
-    ]
     fn = pl.pallas_call(
         functools.partial(_bwd_kernel, consts, n_tx),
         grid_spec=grid_spec,
-        out_shape=out_shapes,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_tiles, NC, ATTR_ROWS, CHUNK), jnp.float32)
+        ],
         interpret=_use_interpret(),
     )
-    return fn(counts, mean2d_g, conic_g, color_g, opacity_g,
-              g_out, bg_dot_g, final_T, n_contrib)
+    (grads,) = fn(counts, attrs, g_out, bg_dot_g, final_T, n_contrib)
+    return grads

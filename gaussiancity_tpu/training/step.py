@@ -1,0 +1,345 @@
+# -*- coding: utf-8 -*-
+"""GAN training step (reference: core/train.py:30-397), TPU-native.
+
+One fused, jittable step containing the reference's alternating D/G update:
+
+  D-step: no-grad generator forward -> pack 14ch -> rasterize -> crop ->
+          D(fake), D(real) -> N+1 GAN loss -> adam
+  G-step: generator forward -> rasterize -> L1*10 + VGG*10 + GAN*0.5 -> adam
+
+Differences by design (SURVEY.md §7):
+  - pure functions over a `TrainState` pytree; both updates live in ONE
+    jitted function (XLA fuses and overlaps them)
+  - discriminator warm-up LR ramp is an optax schedule on the global step
+    (reference: core/train.py:182-190)
+  - spectral-norm power-iteration state is threaded explicitly (the
+    reference relies on torch forward hooks), updated on the same three
+    discriminator applications per step as the reference
+  - per-instance z codes are drawn per step from the step rng
+    (reference: utils/helpers.py:136-155)
+  - data parallelism: `make_parallel_train_step` shard_maps this step over
+    the 'data' mesh axis with gradient psum over ICI, replacing DDP/NCCL
+    (reference: utils/distributed.py, core/train.py:78-87)
+
+Batch layout (all fixed shapes, batch size 1 per device like the
+reference's 1 sample/GPU; see data pipeline):
+  pts        [B, N, 9]  (abs_xyz 0:3, scale 3, instance 4, rel_xyz 5:8,
+                         batch_idx 8 — reference core/train.py:207-213)
+  pts_mask   [B, N]     validity of padded points
+  rgb        [B, Hc, Wc, 3] in [-1, 1]
+  seg        [B, Hc, Wc, n_classes] one-hot
+  msk        [B, Hc, Wc, 1]
+  proj_hf    [B, P, P, 1]
+  proj_seg   [B, P, P, n_classes]
+  proj_tlp   [B, 2] (optional — zeros if unused)
+  cam_pos    [B, 3], cam_quat [B, 4] (xyzw)
+  crp_xy     [B, 2] int32 crop origin (x, y) in the rendered frame
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from gaussiancity_tpu.camera import CameraModel
+from gaussiancity_tpu.config import Config
+from gaussiancity_tpu.losses import gan_loss, masked_l1
+from gaussiancity_tpu.losses.perceptual import PerceptualLoss
+from gaussiancity_tpu.models import Discriminator, Generator
+from gaussiancity_tpu.ops.rasterizer import rasterize_points14
+from gaussiancity_tpu.utils import helpers
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    g_opt: Any
+    d_params: Optional[Any]
+    d_stats: Optional[Any]
+    d_opt: Optional[Any]
+    ploss_params: Any
+
+
+def instances_to_classes(instances: jnp.ndarray, bldg_range, facade_clsid,
+                         roof_clsid, car_range=None, car_clsid=None):
+    """Instance id -> class id (reference: utils/datasets.py:265-282,
+    334-352): buildings in range map even->facade / odd->roof; optional car
+    range."""
+    inst = instances.astype(jnp.int32)
+    in_bldg = (inst >= bldg_range[0]) & (inst < bldg_range[1])
+    classes = jnp.where(in_bldg & (inst % 2 == 0), facade_clsid, inst)
+    classes = jnp.where(in_bldg & (inst % 2 == 1), roof_clsid, classes)
+    if car_range is not None:
+        in_car = (inst >= car_range[0]) & (inst < car_range[1])
+        classes = jnp.where(in_car, car_clsid, classes)
+    return classes
+
+
+class Trainer:
+    """Owns static model/optimizer/camera objects; provides jittable
+    init/train_step/eval_step pure functions."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        ds = cfg.dataset
+        self.generator = Generator(
+            cfg=cfg.network, n_classes=ds.n_classes, proj_size=ds.proj_size
+        )
+        self.use_disc = cfg.train.discriminator.enabled
+        self.discriminator = Discriminator(
+            n_channel_base=cfg.network.dis_n_channel_base,
+            n_classes=ds.n_classes,
+        ) if self.use_disc else None
+        self.ploss = PerceptualLoss(
+            network=cfg.train.perceptual_loss_model,
+            layers=cfg.train.perceptual_loss_layers,
+            weights=cfg.train.perceptual_loss_weights,
+        )
+        self.camera = CameraModel(
+            jnp.asarray(ds.cam_k).reshape(3, 3), ds.sensor_size
+        )
+        self.flip_lr = True
+        self.flip_ud = ds.flip_ud
+        self.crop_size = ds.train_crop_size  # (W, H)
+
+        b1, b2 = cfg.train.betas
+        self.g_tx = optax.adam(cfg.train.generator.lr, b1=b1, b2=b2,
+                               eps=cfg.train.eps)
+        if self.use_disc:
+            d_lr = cfg.train.discriminator.lr
+            warmup = cfg.train.discriminator.n_warmup_iters
+
+            def d_schedule(step):
+                return d_lr * jnp.minimum(1.0, step / warmup)
+
+            self.d_tx = optax.adam(d_schedule, b1=b1, b2=b2, eps=cfg.train.eps)
+        else:
+            self.d_tx = None
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng, batch: Dict[str, jnp.ndarray]) -> TrainState:
+        rg, rd, rp, rz = jax.random.split(rng, 4)
+        feats = self._point_features(batch, rz)
+        g_vars = self.generator.init(
+            rg, feats["proj_uv"], feats["rel_xyz"], None, feats["onehots"],
+            feats["z"], batch.get("proj_hf"), batch.get("proj_seg"),
+            feats["pts_mask"],
+        )
+        g_params = g_vars["params"]
+        if self.use_disc:
+            d_vars = self.discriminator.init(
+                rd, batch["rgb"], batch["seg"], batch["msk"])
+            d_params = d_vars["params"]
+            d_stats = d_vars.get("batch_stats", {})
+            d_opt = self.d_tx.init(d_params)
+        else:
+            d_params = d_stats = d_opt = None
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_opt=self.g_tx.init(g_params),
+            d_params=d_params,
+            d_stats=d_stats,
+            d_opt=d_opt,
+            ploss_params=self.ploss.init(rp, (1, 64, 64, 3)),
+        )
+
+    # ------------------------------------------------------------------
+    # Forward helpers
+    # ------------------------------------------------------------------
+
+    def _point_features(self, batch, rng_z):
+        ds = self.cfg.dataset
+        pts = batch["pts"]
+        abs_xyz = pts[..., 0:3]
+        rel_xyz = pts[..., 5:8]
+        instances = pts[..., 4]
+        classes = instances_to_classes(
+            instances, ds.bldg_range, ds.bldg_facade_clsid, ds.bldg_roof_clsid,
+            ds.car_range, ds.car_clsid,
+        )
+        scales = pts[..., 3:4] * self.cfg.network.scale_factor
+        scales3 = helpers.get_point_scales(
+            scales, classes, ds.z_scale_special_classes
+        )
+        onehots = helpers.get_one_hot(classes, ds.n_classes)
+        z = helpers.get_z(rng_z, instances.astype(jnp.int32),
+                          self.cfg.network.z_dim)
+        proj_tlp = batch.get("proj_tlp")
+        proj_uv = helpers.get_projection_uv(abs_xyz, proj_tlp, ds.proj_size)
+        return dict(
+            abs_xyz=abs_xyz, rel_xyz=rel_xyz, scales3=scales3,
+            onehots=onehots, z=z, proj_uv=proj_uv,
+            pts_mask=batch.get("pts_mask"),
+        )
+
+    def _render_fake(self, g_params, batch, feats):
+        """Generator fwd -> pack -> rasterize -> flips -> crop.
+        Returns [B, Hc, Wc, 3] (NHWC)."""
+        attrs = self.generator.apply(
+            {"params": g_params}, feats["proj_uv"], feats["rel_xyz"], None,
+            feats["onehots"], feats["z"], batch.get("proj_hf"),
+            batch.get("proj_seg"), feats["pts_mask"],
+        )
+        gs_pts = helpers.get_gaussian_points(
+            feats["abs_xyz"], feats["scales3"], attrs)
+        B = gs_pts.shape[0]
+        assert B == 1, "fused train step is per-device batch-size 1 " \
+            "(reference: core/train.py:46); scale via the data mesh axis"
+        cam = self.camera.params_traced(batch["cam_pos"][0],
+                                        batch["cam_quat"][0])
+        out = rasterize_points14(
+            gs_pts[0], cam, self.cfg.rasterizer,
+            valid=feats["pts_mask"][0] if feats["pts_mask"] is not None else None,
+        )
+        img = out.image  # [3, H, W]
+        if self.flip_lr:
+            img = img[:, :, ::-1]
+        if self.flip_ud:
+            img = img[:, ::-1, :]
+        img = img.transpose(1, 2, 0)  # HWC
+        Wc, Hc = self.crop_size
+        xy = batch["crp_xy"][0]
+        img = jax.lax.dynamic_slice(
+            img, (xy[1], xy[0], 0), (Hc, Wc, 3))
+        return img[None]
+
+    # ------------------------------------------------------------------
+    # Train step
+    # ------------------------------------------------------------------
+
+    def train_step(self, state: TrainState, batch, rng,
+                   axis_name: Optional[str] = None
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg.train
+        rng_z, _ = jax.random.split(rng)
+        feats = self._point_features(batch, rng_z)
+        gan_w = batch["msk"][:, ::4, ::4, :]  # nearest 0.25x (train.py:204)
+
+        metrics = {}
+
+        def psum_grads(g):
+            if axis_name is not None:
+                return jax.lax.pmean(g, axis_name)
+            return g
+
+        # ---------------- D step ----------------
+        if self.use_disc:
+            fake_imgs = jax.lax.stop_gradient(
+                self._render_fake(state.g_params, batch, feats))
+
+            def d_loss_fn(d_params, d_stats):
+                vars_in = {"params": d_params, "batch_stats": d_stats}
+                fake_out, vs = self.discriminator.apply(
+                    vars_in, fake_imgs, batch["seg"], batch["msk"],
+                    mutable=["batch_stats"])
+                vars_in = {"params": d_params,
+                           "batch_stats": vs["batch_stats"]}
+                real_out, vs = self.discriminator.apply(
+                    vars_in, batch["rgb"], batch["seg"], batch["msk"],
+                    mutable=["batch_stats"])
+                fake_loss = gan_loss(fake_out["pred"], fake_out["label"],
+                                     False, gan_w, dis_update=True)
+                real_loss = gan_loss(real_out["pred"], real_out["label"],
+                                     True, gan_w, dis_update=True)
+                return fake_loss + real_loss, (fake_loss, real_loss,
+                                               vs["batch_stats"])
+
+            (loss_d, (fake_l, real_l, d_stats)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.d_params, state.d_stats)
+            d_grads = psum_grads(d_grads)
+            d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt,
+                                                state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+            state = state.replace(d_params=d_params, d_stats=d_stats,
+                                  d_opt=d_opt)
+            metrics.update(DisLoss=loss_d, GANLossFake=fake_l,
+                           GANLossReal=real_l)
+        else:
+            metrics.update(DisLoss=0.0, GANLossFake=0.0, GANLossReal=0.0)
+
+        # ---------------- G step ----------------
+        def g_loss_fn(g_params, d_stats):
+            fake = self._render_fake(g_params, batch, feats)
+            if self.use_disc:
+                out, vs = self.discriminator.apply(
+                    {"params": state.d_params, "batch_stats": d_stats},
+                    fake, batch["seg"], batch["msk"],
+                    mutable=["batch_stats"])
+                _gan = gan_loss(out["pred"], out["label"], True, gan_w,
+                                dis_update=False)
+                d_stats = vs["batch_stats"]
+            else:
+                _gan = jnp.float32(0.0)
+            _l1 = masked_l1(fake, batch["rgb"], batch["msk"])
+            _pl = self.ploss(state.ploss_params, fake * batch["msk"],
+                             batch["rgb"] * batch["msk"])
+            loss = (_l1 * cfg.l1_loss_factor
+                    + _pl * cfg.perceptual_loss_factor
+                    + _gan * cfg.gan_loss_factor)
+            return loss, (_l1, _pl, _gan, d_stats)
+
+        (loss_g, (_l1, _pl, _gan, d_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params, state.d_stats)
+        g_grads = psum_grads(g_grads)
+        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
+                                            state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        state = state.replace(
+            g_params=g_params, g_opt=g_opt, step=state.step + 1,
+            d_stats=d_stats if self.use_disc else state.d_stats,
+        )
+        metrics.update(GenLoss=loss_g, L1Loss=_l1, PerceptualLoss=_pl,
+                       GANLoss=_gan)
+        return state, metrics
+
+    # ------------------------------------------------------------------
+    # Eval step (reference: core/test.py:66-124)
+    # ------------------------------------------------------------------
+
+    def eval_step(self, state: TrainState, batch, rng):
+        feats = self._point_features(batch, rng)
+        fake = self._render_fake(state.g_params, batch, feats)
+        l1 = masked_l1(fake, batch["rgb"], batch["msk"])
+        return {"L1Loss": l1}, fake
+
+
+def make_train_step(trainer: Trainer):
+    """Single-device jitted train step."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, rng):
+        return trainer.train_step(state, batch, rng)
+
+    return step
+
+
+def make_parallel_train_step(trainer: Trainer, mesh):
+    """Data-parallel train step over mesh axis 'data': params replicated,
+    batch sharded, gradients pmean'd over ICI — the reference's DDP
+    all-reduce (core/train.py:78-87) as XLA collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P("data"), P()), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(state, batch, rng):
+        state, metrics = trainer.train_step(state, batch, rng,
+                                            axis_name="data")
+        metrics = {k: jax.lax.pmean(v, "data") for k, v in metrics.items()}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,)), repl, shard

@@ -1,0 +1,76 @@
+# -*- coding: utf-8 -*-
+"""Pallas blend kernels vs the XLA fallback (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiancity_tpu.config import RasterizerConfig
+from gaussiancity_tpu.ops.rasterizer import rasterize
+
+from test_rasterizer import make_camera, make_scene
+
+CFG_XLA = RasterizerConfig(
+    tile_h=8, tile_w=128, max_tiles_per_gaussian=32, tile_capacity=128,
+    chunk=8, backend="xla",
+)
+CFG_PALLAS = CFG_XLA.replace(backend="pallas")
+
+
+def small_setup(seed=0, n=48):
+    cam = make_camera(W=256, H=16)
+    scene = make_scene(jax.random.PRNGKey(seed), n=n, opacity_max=0.8)
+    return cam, scene
+
+
+class TestPallasBlend:
+    def test_forward_matches_xla(self):
+        cam, scene = small_setup()
+        out_x = rasterize(*scene, cam, CFG_XLA)
+        out_p = rasterize(*scene, cam, CFG_PALLAS)
+        assert int(out_x.n_truncated) == 0
+        np.testing.assert_allclose(out_p.image, out_x.image, atol=1e-6)
+        np.testing.assert_allclose(out_p.final_T, out_x.final_T, atol=1e-6)
+
+    def test_forward_with_bg(self):
+        cam, scene = small_setup(seed=1)
+        bg = jnp.array([0.3, 0.1, 0.6])
+        out_x = rasterize(*scene, cam, CFG_XLA, bg=bg)
+        out_p = rasterize(*scene, cam, CFG_PALLAS, bg=bg)
+        np.testing.assert_allclose(out_p.image, out_x.image, atol=1e-6)
+
+    def test_backward_matches_xla(self):
+        cam, scene = small_setup(seed=2)
+        wgt = jax.random.normal(jax.random.PRNGKey(3), (3, 16, 256))
+
+        def make_loss(cfg):
+            def loss(means, op, sc, qu, co):
+                out = rasterize(means, op, sc, qu, co, cam, cfg)
+                return jnp.sum(out.image * wgt)
+            return loss
+
+        g_x = jax.grad(make_loss(CFG_XLA), argnums=(0, 1, 2, 3, 4))(*scene)
+        g_p = jax.grad(make_loss(CFG_PALLAS), argnums=(0, 1, 2, 3, 4))(*scene)
+        for name, gx, gp in zip("means op sc qu co".split(), g_x, g_p):
+            scale = np.maximum(np.abs(np.asarray(gx)).max(), 1e-8)
+            np.testing.assert_allclose(
+                np.asarray(gp) / scale, np.asarray(gx) / scale, atol=1e-5,
+                err_msg=f"pallas grad mismatch: {name}",
+            )
+
+    def test_saturation_early_exit(self):
+        # Opaque stack saturating T: pallas early-exit must not change output.
+        cam, _ = small_setup()
+        n = 64
+        means = jnp.tile(jnp.array([10.0, 0.0, 0.0]), (n, 1))
+        scene = (
+            means,
+            jnp.full((n,), 0.95),
+            jnp.full((n, 3), 0.5),
+            jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+            jax.random.uniform(jax.random.PRNGKey(4), (n, 3)),
+        )
+        out_x = rasterize(*scene, cam, CFG_XLA)
+        out_p = rasterize(*scene, cam, CFG_PALLAS)
+        np.testing.assert_allclose(out_p.image, out_x.image, atol=1e-6)
+        np.testing.assert_allclose(out_p.final_T, out_x.final_T, atol=1e-7)

@@ -1,0 +1,175 @@
+# -*- coding: utf-8 -*-
+"""PTv3 tests: serialization codes, pooling clusters, attention padding,
+mask invariance, full backbone + generator integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiancity_tpu.config import GaussianNetworkConfig, PTv3Config
+from gaussiancity_tpu.models.ptv3 import PointTransformerV3, PTv3Single
+from gaussiancity_tpu.ops import serialization as ser
+
+
+def ref_morton(x, y, z, depth):
+    """Bit-by-bit Morton with the reference's x-major layout."""
+    code = 0
+    for i in range(depth):
+        code |= ((x >> i) & 1) << (3 * i + 2)
+        code |= ((y >> i) & 1) << (3 * i + 1)
+        code |= ((z >> i) & 1) << (3 * i)
+    return code
+
+
+class TestSerialization:
+    def test_cord_code(self):
+        g = jnp.array([[1, 2, 3], [0, 0, 7]], dtype=jnp.int32)
+        code = ser.cord_encode(g, 0.01)
+        # x/gs^2 + y/gs + z = x*10000 + y*100 + z
+        np.testing.assert_array_equal(np.asarray(code), [10203, 7])
+
+    def test_z_order_matches_bitwise(self):
+        rng = np.random.default_rng(0)
+        pts = rng.integers(0, 512, size=(64, 3))
+        code = ser.z_order_encode(jnp.asarray(pts, jnp.int32), depth=10)
+        want = [ref_morton(x, y, z, 10) for x, y, z in pts]
+        np.testing.assert_array_equal(np.asarray(code), want)
+
+    def test_hilbert_is_bijective_and_local(self):
+        d = 4
+        n = 1 << d
+        coords = np.stack(np.meshgrid(
+            np.arange(n), np.arange(n), np.arange(n), indexing="ij"),
+            axis=-1).reshape(-1, 3)
+        code = np.asarray(ser.hilbert_encode(
+            jnp.asarray(coords, jnp.int32), depth=d))
+        # bijective over the full cube
+        assert len(np.unique(code)) == len(coords)
+        assert code.min() == 0 and code.max() == len(coords) - 1
+        # true Hilbert curve: consecutive codes are adjacent cells
+        order = np.argsort(code)
+        diffs = np.abs(np.diff(coords[order], axis=0)).sum(axis=1)
+        assert np.all(diffs == 1), "hilbert curve must move one step at a time"
+
+    def test_serialize_sorts_invalid_last(self):
+        coord = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (32, 3)),
+                            jnp.float32)
+        valid = jnp.arange(32) < 20
+        g, codes, order, inverse = ser.serialize(
+            coord, valid, 0.01, ("cord",), 10)
+        v_sorted = np.asarray(valid)[np.asarray(order[0])]
+        assert v_sorted[:20].all() and not v_sorted[20:].any()
+        # inverse is the inverse permutation
+        np.testing.assert_array_equal(
+            np.asarray(order[0])[np.asarray(inverse[0])], np.arange(32))
+
+
+class TestPooling:
+    def test_clusters_match_numpy_unique(self):
+        from gaussiancity_tpu.models.ptv3 import pool_clusters
+
+        rng = np.random.default_rng(2)
+        N = 64
+        codes_np = rng.integers(0, 200, size=N).astype(np.int32)
+        valid = np.ones(N, bool)
+        valid[50:] = False
+        codes = jnp.where(jnp.asarray(valid), jnp.asarray(codes_np),
+                          ser.INVALID_CODE)[None]
+        order = jnp.argsort(codes, axis=1, stable=True).astype(jnp.int32)
+        cluster, head, n_clusters, seg, code_sorted, pd = pool_clusters(
+            codes, order, jnp.asarray(valid), stride=2)
+        want_unique = np.unique(codes_np[:50] >> 3)
+        assert int(n_clusters) == len(want_unique)
+        # points sharing a shifted code share a cluster id
+        cl = np.asarray(cluster)
+        for u in want_unique:
+            ids = cl[(codes_np >> 3) == u]
+            # restrict to valid points
+            mask = ((codes_np >> 3) == u) & valid
+            assert len(np.unique(cl[mask])) == 1
+
+
+def tiny_ptv3_cfg():
+    return PTv3Config(
+        order=("cord",),
+        stride=(2, 2),
+        enc_depths=(1, 1, 1),
+        enc_channels=(8, 16, 32),
+        enc_n_head=(1, 2, 4),
+        enc_patch_size=(64, 64, 64),
+        dec_depths=(1, 1),
+        dec_channels=(8, 16),
+        dec_n_head=(1, 2),
+        dec_patch_size=(64, 64),
+        mlp_ratio=2.0,
+    )
+
+
+def make_points(key, N=256, n_valid=200):
+    coord = jax.random.uniform(key, (N, 3), minval=-1, maxval=1)
+    feat = jax.random.normal(jax.random.fold_in(key, 1), (N, 12))
+    valid = jnp.arange(N) < n_valid
+    return feat, coord, valid
+
+
+class TestPTv3:
+    def test_forward_shapes(self):
+        cfg = tiny_ptv3_cfg()
+        feat, coord, valid = make_points(jax.random.PRNGKey(0))
+        model = PTv3Single(cfg=cfg, in_channels=12)
+        params = model.init(jax.random.PRNGKey(1), feat, coord, valid)
+        out = model.apply(params, feat, coord, valid)
+        assert out.shape == (256, cfg.dec_channels[0])
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_padding_invariance(self):
+        # changing padded points' features/coords must not change valid outputs
+        cfg = tiny_ptv3_cfg()
+        feat, coord, valid = make_points(jax.random.PRNGKey(2), n_valid=190)
+        model = PTv3Single(cfg=cfg, in_channels=12)
+        params = model.init(jax.random.PRNGKey(1), feat, coord, valid)
+        out1 = model.apply(params, feat, coord, valid)
+        feat2 = feat.at[190:].set(99.0)
+        coord2 = coord.at[190:].set(0.123)
+        out2 = model.apply(params, feat2, coord2, valid)
+        np.testing.assert_allclose(
+            np.asarray(out1[:190]), np.asarray(out2[:190]), atol=1e-5)
+
+    def test_batched_wrapper(self):
+        cfg = tiny_ptv3_cfg()
+        f1, c1, v1 = make_points(jax.random.PRNGKey(3))
+        f2, c2, v2 = make_points(jax.random.PRNGKey(4), n_valid=256)
+        feat = jnp.stack([f1, f2])
+        coord = jnp.stack([c1, c2])
+        valid = jnp.stack([v1, v2])
+        model = PointTransformerV3(cfg=cfg, in_channels=12)
+        params = model.init(jax.random.PRNGKey(5), feat, coord, valid)
+        out = model.apply(params, feat, coord, valid)
+        assert out.shape == (2, 256, cfg.dec_channels[0])
+        # batch elements are independent
+        out_b0 = model.apply(params, f1[None], c1[None], v1[None])
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out_b0[0]),
+                                   atol=1e-5)
+
+    def test_generator_with_ptv3(self):
+        from gaussiancity_tpu.models import Generator
+        from gaussiancity_tpu.utils import helpers
+
+        net = GaussianNetworkConfig(
+            encoder=None, encoder_out_dim=3, pos_emd="SIN_COS",
+            sin_cos_freq_bends=2, z_dim=16, mlp_hidden_dim=32,
+            ptv3=tiny_ptv3_cfg().replace(enabled=True),
+        )
+        B, N = 1, 256
+        gen = Generator(cfg=net, n_classes=8, proj_size=32)
+        rng = jax.random.PRNGKey(0)
+        rel_xyz = jax.random.uniform(rng, (B, N, 3), minval=-1, maxval=1)
+        onehots = helpers.get_one_hot(jnp.full((B, N), 2, jnp.int32), 8)
+        z = helpers.get_z(rng, jnp.full((B, N), 100, jnp.int32), 16)
+        mask = jnp.ones((B, N), dtype=bool)
+        params = gen.init(rng, None, rel_xyz, None, onehots, z, None, None,
+                          mask)
+        out = gen.apply(params, None, rel_xyz, None, onehots, z, None, None,
+                        mask)
+        assert out["rgb"].shape == (B, N, 3)
+        assert np.all(np.isfinite(np.asarray(out["rgb"])))
