@@ -1,0 +1,225 @@
+# -*- coding: utf-8 -*-
+"""Voxel visibility: point scatter to id-volume + per-pixel DDA raycast.
+
+TPU-native replacement for the reference's voxlib CUDA kernels:
+
+- ``points_to_volume`` (reference: extensions/voxlib/points_to_volume.cu:
+  21-79): scatter each point's scale-box into an int32 id volume,
+  last-write-wins.  The box fill is unrolled over the (small, static) max
+  scale; XLA scatter replaces the racy CUDA writes.
+- ``ray_voxel_intersection`` (reference: extensions/voxlib/
+  ray_voxel_intersection.cu): per-pixel DDA through the volume.  Instead of
+  a per-thread while loop, ALL rays advance together inside one
+  ``lax.while_loop`` (vectorized over the whole image) until every ray has
+  hit or left the volume — data-parallel stepping is the TPU-shaped
+  formulation of the same traversal.
+- ``get_visible_points`` (reference: scripts/dataset_generator.py:
+  1420-1461): volume build + raycast + instance map composition.
+
+Camera convention (ray_voxel_intersection.cu:70-90): volume indexed
+[y, x, z]; the ray basis is (up x side x fwd) with
+``ndc = (cy - py, px - cx)``, dir = up*ndc0 + side*ndc1 + fwd*f.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiancity_tpu.camera import quat_xyzw_to_matrix
+
+
+def points_to_volume(
+    points: jnp.ndarray,  # [N, 3] int32 (x, y, z)
+    pt_ids: jnp.ndarray,  # [N] int32 (0 = empty sentinel; use 1-based ids)
+    scales: jnp.ndarray,  # [N, 3] int32
+    h: int, w: int, d: int,
+    max_scale: int = 4,
+    valid=None,
+) -> jnp.ndarray:
+    """Volume [h, w, d] int32, each point filling its scale box
+    (points_to_volume.cu:21-79; layout volume[y, x, z])."""
+    N = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), dtype=bool)
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    in_range = (
+        valid & (x >= 0) & (x < w) & (y >= 0) & (y < h) & (z >= 0) & (z < d)
+    )
+    vol = jnp.zeros((h, w, d), dtype=jnp.int32)
+    for dx in range(max_scale):
+        for dy in range(max_scale):
+            for dz in range(max_scale):
+                m = (
+                    in_range
+                    & (dx < scales[:, 0]) & (dy < scales[:, 1])
+                    & (dz < scales[:, 2])
+                )
+                xi = jnp.minimum(x + dx, w - 1)
+                yi = jnp.minimum(y + dy, h - 1)
+                zi = jnp.minimum(z + dz, d - 1)
+                ids = jnp.where(m, pt_ids, 0)
+                # max-combine keeps deterministic semantics for overlapping
+                # boxes (the CUDA kernel is racy last-write-wins there)
+                vol = vol.at[yi, xi, zi].max(ids)
+    return vol
+
+
+class RaycastResult(NamedTuple):
+    voxel_id: jnp.ndarray  # [H, W] int32 (value stored in the volume; 0=miss)
+    depth: jnp.ndarray  # [H, W] float32 (t of entry; inf on miss)
+    raydirs: jnp.ndarray  # [H, W, 3]
+
+
+def ray_voxel_intersection(
+    volume: jnp.ndarray,  # [h, w, d] int32, 0 = empty
+    cam_ori: jnp.ndarray,  # [3] in volume coords (y, x, z) order
+    cam_dir: jnp.ndarray,  # [3] look direction (not normalized)
+    cam_up: jnp.ndarray,  # [3]
+    cam_f: float,
+    cam_c: Tuple[float, float],  # (cy, cx) principal point
+    img_dims: Tuple[int, int],  # (H, W)
+    max_steps: int | None = None,
+) -> RaycastResult:
+    """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1)."""
+    h, w, d = volume.shape
+    H, W = img_dims
+    vol_flat = volume.reshape(-1)
+    dims = jnp.asarray([h, w, d], dtype=jnp.int32)
+    strides = jnp.asarray([w * d, d, 1], dtype=jnp.int32)
+
+    # Camera basis (ray_voxel_intersection.cu host code builds fwd/side/up
+    # from viewdir and world-up by Gram-Schmidt; mirrored here)
+    fwd = cam_dir / jnp.linalg.norm(cam_dir)
+    side = jnp.cross(fwd, cam_up)
+    side = side / jnp.linalg.norm(side)
+    up = jnp.cross(side, fwd)
+    up = up / jnp.linalg.norm(up)
+
+    py = jnp.arange(H, dtype=jnp.float32)[:, None]
+    px = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ndc0 = cam_c[0] - py  # flip height
+    ndc1 = px - cam_c[1]
+    raydir = (
+        up[None, None] * ndc0[..., None]
+        + side[None, None] * ndc1[..., None]
+        + fwd[None, None] * cam_f
+    )
+    raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+    rd = raydir.reshape(-1, 3)  # [R, 3]
+    R = rd.shape[0]
+    ro = jnp.broadcast_to(cam_ori[None], (R, 3))
+
+    axis_int = jnp.floor(ro).astype(jnp.int32)  # [R, 3]
+    pos_dir = rd > 0
+    axis_t = jnp.where(
+        rd > 0,
+        (axis_int.astype(jnp.float32) + 1.0 - ro) / rd,
+        jnp.where(rd < 0, (axis_int.astype(jnp.float32) - ro) / rd, jnp.inf),
+    )
+
+    if max_steps is None:
+        max_steps = h + w + d + 3
+
+    def cond(state):
+        i, done, *_ = state
+        return (i < max_steps) & jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        i, done, axis_int, axis_t, hit_id, hit_t = state
+        # pick the axis with the smallest t, tie-break x<y<z like the CUDA
+        # hand-unrolled chain (ray_voxel_intersection.cu:127-176)
+        t01 = axis_t[:, 0] <= axis_t[:, 1]
+        t02 = axis_t[:, 0] <= axis_t[:, 2]
+        t12 = axis_t[:, 1] <= axis_t[:, 2]
+        ax = jnp.where(t01 & t02, 0, jnp.where(t12, 1, 2))  # [R]
+        tnow = jnp.take_along_axis(axis_t, ax[:, None], axis=1)[:, 0]
+
+        step = jnp.where(jnp.take_along_axis(pos_dir, ax[:, None], 1)[:, 0],
+                         1, -1)
+        cur = jnp.take_along_axis(axis_int, ax[:, None], 1)[:, 0] + step
+        axis_int2 = jnp.where(
+            jax.nn.one_hot(ax, 3, dtype=bool), cur[:, None], axis_int)
+        dim_ax = dims[ax]
+        quit_now = jnp.where(step > 0, cur >= dim_ax, cur < 0)
+        new_t = jnp.where(
+            step > 0,
+            (cur.astype(jnp.float32) + 1.0
+             - jnp.take_along_axis(ro, ax[:, None], 1)[:, 0])
+            / jnp.take_along_axis(rd, ax[:, None], 1)[:, 0],
+            (cur.astype(jnp.float32)
+             - jnp.take_along_axis(ro, ax[:, None], 1)[:, 0])
+            / jnp.take_along_axis(rd, ax[:, None], 1)[:, 0],
+        )
+        axis_t2 = jnp.where(
+            jax.nn.one_hot(ax, 3, dtype=bool), new_t[:, None], axis_t)
+
+        inside = jnp.all(
+            (axis_int2 >= 0) & (axis_int2 < dims[None, :]), axis=1)
+        lin = jnp.sum(axis_int2 * strides[None, :], axis=1)
+        lin = jnp.clip(lin, 0, h * w * d - 1)
+        blk = jnp.where(inside, vol_flat[lin], 0)
+        newly_hit = jnp.logical_not(done) & (blk != 0)
+        hit_id = jnp.where(newly_hit, blk, hit_id)
+        hit_t = jnp.where(newly_hit, tnow, hit_t)
+        done = done | newly_hit | (jnp.logical_not(done) & quit_now)
+        return (i + 1, done, jnp.where(done[:, None], axis_int, axis_int2),
+                jnp.where(done[:, None], axis_t, axis_t2), hit_id, hit_t)
+
+    state0 = (
+        jnp.int32(0),
+        jnp.zeros((R,), dtype=bool),
+        axis_int,
+        axis_t,
+        jnp.zeros((R,), dtype=jnp.int32),
+        jnp.full((R,), jnp.inf, dtype=jnp.float32),
+    )
+    _, _, _, _, hit_id, hit_t = jax.lax.while_loop(cond, body, state0)
+    return RaycastResult(
+        voxel_id=hit_id.reshape(H, W),
+        depth=hit_t.reshape(H, W),
+        raydirs=raydir,
+    )
+
+
+def get_visible_points(
+    points: jnp.ndarray,  # [N, 5] int32 (x, y, z, scale, instance)
+    scales3: jnp.ndarray,  # [N, 3] int32
+    cam_pos: jnp.ndarray,  # [3] (x, y, z) world
+    cam_quat: jnp.ndarray,  # [4] xyzw
+    cam_f: float,
+    cam_c: Tuple[float, float],  # (cy, cx)
+    img_dims: Tuple[int, int],
+    vol_shape: Tuple[int, int, int],
+    offsets: jnp.ndarray,  # [3] int32 (x, y, z) volume origin in world
+    valid=None,
+):
+    """Visible-point map (reference: dataset_generator.py:1420-1461).
+
+    Returns (vp_map [H, W] int32 point index or -1, ins_map [H, W]).
+    The volume shape is static; callers pre-compute offsets so points fit.
+    """
+    N = points.shape[0]
+    h, w, d = vol_shape
+    loc = points[:, :3] - offsets[None, :]
+    # z offset convention: z -= z_min - 1 (dataset_generator.py:1357-1361)
+    pt_ids = jnp.arange(1, N + 1, dtype=jnp.int32)
+    vol = points_to_volume(loc, pt_ids, scales3, h, w, d, valid=valid)
+
+    cam_pos_loc = (cam_pos - offsets).astype(jnp.float32)
+    # look_at = pos + R[:, 0] * 1000 (utils/helpers.py:162-164)
+    Rm = quat_xyzw_to_matrix(cam_quat.astype(jnp.float32))
+    look_dir = Rm[:, 0]
+    # volume is indexed [y, x, z] -> swap x/y for origin and direction
+    # (dataset_generator.py:1383-1400)
+    ori = jnp.stack([cam_pos_loc[1], cam_pos_loc[0], cam_pos_loc[2]])
+    vdir = jnp.stack([look_dir[1], look_dir[0], look_dir[2]])
+    res = ray_voxel_intersection(
+        vol, ori, vdir, jnp.asarray([0.0, 0.0, 1.0]), cam_f, cam_c, img_dims)
+    vp_map = res.voxel_id - 1  # -1 = miss
+    ins = points[:, 4]
+    ins_map = jnp.where(vp_map >= 0, ins[jnp.maximum(vp_map, 0)], 0)
+    return vp_map, ins_map
