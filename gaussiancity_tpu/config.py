@@ -32,12 +32,21 @@ def _asdict(obj: Any) -> Any:
 
 def _fromdict(cls: Any, data: Any) -> Any:
     if dataclasses.is_dataclass(cls) and isinstance(data, dict):
+        import typing
+
+        # Resolve string annotations (PEP 563) to real types.
+        hints = typing.get_type_hints(cls)
         kwargs = {}
         for f in dataclasses.fields(cls):
             if f.name not in data:
                 continue
             v = data[f.name]
-            ftype = f.type
+            ftype = hints.get(f.name, f.type)
+            # unwrap Optional[X]
+            if getattr(ftype, "__origin__", None) is typing.Union:
+                args = [a for a in ftype.__args__ if a is not type(None)]
+                if len(args) == 1:
+                    ftype = args[0]
             origin = getattr(ftype, "__origin__", None)
             if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
                 kwargs[f.name] = _fromdict(ftype, v)
