@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""Inference pipeline test: synthetic city projections -> orbit trajectory
+-> rendered frames via a tiny REST generator."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussiancity_tpu.config import (
+    Config, DatasetConfig, GaussianNetworkConfig, PTv3Config,
+    RasterizerConfig,
+)
+from gaussiancity_tpu.inference.pipeline import (
+    InferencePipeline, get_orbit_camera_poses, get_quat_from_look_at,
+    get_style_lut,
+)
+from gaussiancity_tpu.models import Generator
+
+
+def tiny_cfg():
+    ds = DatasetConfig(
+        sensor_size=(128, 64),
+        n_classes=8,
+        proj_size=64,
+        cam_k=(60.0, 0, 64.0, 0, 60.0, 32.0, 0, 0, 1),
+        flip_ud=False,
+    )
+    net = GaussianNetworkConfig(
+        scale_factor=0.5, encoder="GLOBAL", encoder_out_dim=5,
+        global_encoder_n_blocks=2, pos_emd="HASH_GRID",
+        hash_grid_n_levels=2, hash_grid_level_dim=2, hash_grid_map_size=8,
+        z_dim=None, mlp_hidden_dim=16, ptv3=PTv3Config(enabled=False),
+    )
+    rast = RasterizerConfig(tile_capacity=128, max_tiles_per_gaussian=16,
+                            backend="xla")
+    return Config(dataset=ds, network=net, rasterizer=rast)
+
+
+def synthetic_projections(P=64, seed=0):
+    rng = np.random.default_rng(seed)
+    ins = np.ones((P, P), np.int16)
+    ins[10:20, 10:20] = 100
+    ins[30:42, 30:44] = 102
+    td = np.where(ins >= 100, 18, 2).astype(np.int16)
+    bu = np.zeros((P, P), np.int16)
+    pts = np.ones((P, P), bool)
+    seg = np.where(ins >= 100, 2, ins).astype(np.int16)
+    return {"REST": {"INS": ins, "SEG": seg, "TD_HF": td, "BU_HF": bu,
+                     "PTS": pts}}
+
+
+class TestCameraPoses:
+    def test_quat_look_at_points_forward(self):
+        q = get_quat_from_look_at(np.array([0.0, 0, 0]),
+                                  np.array([10.0, 0, 0]))
+        import scipy.spatial.transform as sst
+
+        R = sst.Rotation.from_quat(q).as_matrix()
+        np.testing.assert_allclose(R[:, 0], [1, 0, 0], atol=1e-8)
+
+    def test_orbit(self):
+        poses = get_orbit_camera_poses(64, n_points=8, radius=20, altitude=40)
+        assert len(poses) == 8
+        r = np.hypot(poses[0]["tx"] - 32, poses[0]["ty"] - 32)
+        np.testing.assert_allclose(r, 20, atol=1e-6)
+
+
+class TestInference:
+    def test_render_trajectory(self, tmp_path):
+        cfg = tiny_cfg()
+        gen = Generator(cfg=cfg.network, n_classes=8,
+                        proj_size=cfg.dataset.proj_size)
+        P = cfg.dataset.proj_size
+        N = 2048
+        rng = jax.random.PRNGKey(0)
+        params = gen.init(
+            rng,
+            jnp.zeros((1, N, 2)), jnp.zeros((1, N, 3)), None,
+            jnp.zeros((1, N, 8)), None,
+            jnp.zeros((1, P, P, 1)), jnp.zeros((1, P, P, 8)),
+            jnp.ones((1, N), bool),
+        )["params"]
+        pipe = InferencePipeline(
+            cfg, {"REST": (gen, params)}, max_points=N,
+            vol_shape=(72, 72, 24),
+        )
+        projections = synthetic_projections(P)
+        centers = {int(i): (32.0, 32.0, 64.0, 64.0, 20.0)
+                   for i in range(0, 200)}
+        poses = get_orbit_camera_poses(P, n_points=2, radius=30, altitude=30)
+        frames = pipe.render_trajectory(
+            projections, centers, poses,
+            video_path=str(tmp_path / "out.mp4"))
+        assert len(frames) == 2
+        H, W = cfg.dataset.sensor_size[1], cfg.dataset.sensor_size[0]
+        assert frames[0].shape == (H, W, 3)
+        # frames contain actual content (some visible splats)
+        assert frames[0].std() > 1.0
+        assert (tmp_path / "out.mp4").exists()
+
+    def test_style_lut(self):
+        lut = get_style_lut({1: (0, 0, 0, 0, 0)}, z_dim=8,
+                            z_bank={5: np.ones(8)})
+        assert lut.shape[1] == 8
+        np.testing.assert_allclose(lut[5], 1.0)
+        assert lut.min() >= 0 and lut.max() < 1.0 + 1e-6
