@@ -77,17 +77,6 @@ def rasterize(
     )
 
     n_ty, n_tx = binning.tile_grid(cam.img_h, cam.img_w, cfg.tile_h, cfg.tile_w)
-    idx = bins.gauss_index  # [T, K]
-    mean2d_g = prep.mean2d[idx]
-    conic_g = prep.conic[idx]
-    color_g = prep.color[idx]
-    opacity_g = prep.opacity[idx]
-    kvalid = bins.kmask.astype(jnp.float32)
-
-    tid = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
-    x0f = ((tid % n_tx) * cfg.tile_w).astype(jnp.float32)
-    y0f = ((tid // n_tx) * cfg.tile_h).astype(jnp.float32)
-
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -101,9 +90,34 @@ def rasterize(
         backend=backend,
         n_tx=n_tx,
     )
-    tiles_out, tiles_T = blend.blend_tiles(
-        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
-    )
+    idx = bins.gauss_index  # [T, K]
+    if backend == "pallas":
+        # Fast path: one row-gather of the packed [N, 16] attributes into
+        # the paged [T, NC, 16, page] kernel layout.
+        from gaussiancity_tpu.ops.rasterizer import blend_pallas
+
+        page = blend_pallas.default_page()
+        T_tiles, K = idx.shape
+        assert K % page == 0, "tile_capacity must be a multiple of the page"
+        attrs = prep.attrs16()  # [N, 16]
+        gathered = attrs[idx.reshape(-1)]  # [T*K, 16]
+        attrs_paged = gathered.reshape(T_tiles, K // page, page, 16)
+        attrs_paged = attrs_paged.transpose(0, 1, 3, 2)
+        counts_f = bins.counts.astype(jnp.float32)
+        tiles_out, tiles_T = blend.blend_tiles_packed(
+            consts, attrs_paged, counts_f, bg)
+    else:
+        mean2d_g = prep.mean2d[idx]
+        conic_g = prep.conic[idx]
+        color_g = prep.color[idx]
+        opacity_g = prep.opacity[idx]
+        kvalid = bins.kmask.astype(jnp.float32)
+        tid = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+        x0f = ((tid % n_tx) * cfg.tile_w).astype(jnp.float32)
+        y0f = ((tid // n_tx) * cfg.tile_h).astype(jnp.float32)
+        tiles_out, tiles_T = blend.blend_tiles(
+            consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f,
+            bg)
     image = _assemble_image(
         tiles_out, n_ty, n_tx, cfg.tile_h, cfg.tile_w, cam.img_h, cam.img_w
     )

@@ -9,6 +9,9 @@ static-shape: each Gaussian is expanded into at most ``max_tiles_per_gaussian``
 ``jax.lax.sort`` (stable — ties keep pair order, like the reference's stable
 LSB radix sort), and each tile keeps its nearest ``tile_capacity`` entries.
 
+TPU layout: all per-Gaussian state is [N] component vectors and the pair
+expansion is [D, N] (N on lanes) — never [N, small].
+
 Overflow policy (principled, per SURVEY.md §7): per-tile truncation keeps the
 *nearest* K Gaussians (sort is front-to-back); per-Gaussian truncation drops
 the trailing tiles of its row-major rect.  Both overflow counts are returned
@@ -39,26 +42,25 @@ def tile_grid(img_h: int, img_w: int, tile_h: int, tile_w: int):
     return n_ty, n_tx
 
 
-def compute_rects(
-    mean2d: jnp.ndarray,
-    radius: jnp.ndarray,
-    valid: jnp.ndarray,
-    img_h: int,
-    img_w: int,
-    tile_h: int,
-    tile_w: int,
-):
-    """Tile-space bounding rects (reference: auxiliary.h:36-46 getRect)."""
+def compute_rects_c(mx, my, radius, valid, img_h, img_w, tile_h, tile_w):
+    """Component-vector tile rects (reference: auxiliary.h:36-46 getRect)."""
     n_ty, n_tx = tile_grid(img_h, img_w, tile_h, tile_w)
-    mx, my = mean2d[..., 0], mean2d[..., 1]
-    r = radius.astype(mean2d.dtype)
+    r = radius.astype(mx.dtype)
     x_min = jnp.clip(jnp.floor((mx - r) / tile_w), 0, n_tx).astype(jnp.int32)
     y_min = jnp.clip(jnp.floor((my - r) / tile_h), 0, n_ty).astype(jnp.int32)
-    x_max = jnp.clip(jnp.floor((mx + r + tile_w - 1) / tile_w), 0, n_tx).astype(jnp.int32)
-    y_max = jnp.clip(jnp.floor((my + r + tile_h - 1) / tile_h), 0, n_ty).astype(jnp.int32)
+    x_max = jnp.clip(jnp.floor((mx + r + tile_w - 1) / tile_w), 0,
+                     n_tx).astype(jnp.int32)
+    y_max = jnp.clip(jnp.floor((my + r + tile_h - 1) / tile_h), 0,
+                     n_ty).astype(jnp.int32)
     area = (x_max - x_min) * (y_max - y_min)
     valid = valid & (area > 0)
     return x_min, y_min, x_max, y_max, jnp.where(valid, area, 0), valid
+
+
+def compute_rects(mean2d, radius, valid, img_h, img_w, tile_h, tile_w):
+    """[N, 2] compatibility wrapper (used by the naive oracle)."""
+    return compute_rects_c(mean2d[..., 0], mean2d[..., 1], radius, valid,
+                           img_h, img_w, tile_h, tile_w)
 
 
 def bin_gaussians(
@@ -72,39 +74,37 @@ def bin_gaussians(
 ) -> TileBins:
     """Build fixed-capacity per-tile Gaussian lists, front-to-back.
 
-    All inputs are treated as non-differentiable (integer state); callers
-    should have applied stop_gradient upstream (preprocess.radius already is).
+    All inputs are treated as non-differentiable integer state.
     """
-    mean2d = jax.lax.stop_gradient(prep.mean2d)
+    mx = jax.lax.stop_gradient(prep.mx)
+    my = jax.lax.stop_gradient(prep.my)
     depth = jax.lax.stop_gradient(prep.depth)
 
     n_ty, n_tx = tile_grid(img_h, img_w, tile_h, tile_w)
     num_tiles = n_ty * n_tx
-    N = mean2d.shape[0]
+    N = mx.shape[0]
     D = max_tiles_per_gaussian
     K = tile_capacity
 
-    x_min, y_min, x_max, y_max, area, valid = compute_rects(
-        mean2d, prep.radius, prep.valid, img_h, img_w, tile_h, tile_w
-    )
+    x_min, y_min, x_max, y_max, area, valid = compute_rects_c(
+        mx, my, prep.radius, prep.valid, img_h, img_w, tile_h, tile_w)
     rect_w = x_max - x_min
 
-    # Expand each Gaussian into up to D (tile, depth) pairs, row-major over
-    # its rect (y-major like the reference's duplicateWithKeys,
+    # Expand each Gaussian into up to D (tile, depth) pairs, [D, N] layout,
+    # row-major over its rect (y-major like duplicateWithKeys,
     # rasterizer_impl.cu:64-99).
-    j = jnp.arange(D, dtype=jnp.int32)  # [D]
-    rw = jnp.maximum(rect_w, 1)[:, None]  # [N, 1]
-    ty = y_min[:, None] + j[None, :] // rw  # [N, D]
-    tx = x_min[:, None] + j[None, :] % rw
-    pair_valid = valid[:, None] & (j[None, :] < area[:, None])
+    j = jnp.arange(D, dtype=jnp.int32)[:, None]  # [D, 1]
+    rw = jnp.maximum(rect_w, 1)[None, :]  # [1, N]
+    ty = y_min[None, :] + j // rw  # [D, N]
+    tx = x_min[None, :] + j % rw
+    pair_valid = valid[None, :] & (j < area[None, :])
     tile_id = jnp.where(pair_valid, ty * n_tx + tx, num_tiles).astype(jnp.int32)
 
     n_dropped = jnp.sum(jnp.maximum(area - D, 0)).astype(jnp.int32)
 
-    pair_depth = jnp.broadcast_to(depth[:, None], (N, D)).astype(jnp.float32)
+    pair_depth = jnp.broadcast_to(depth[None, :], (D, N)).astype(jnp.float32)
     pair_idx = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, D)
-    )
+        jnp.arange(N, dtype=jnp.int32)[None, :], (D, N))
 
     # Lexicographic stable sort by (tile, depth); invalid pairs (sentinel
     # tile == num_tiles) sort to the end.
@@ -125,7 +125,8 @@ def bin_gaussians(
     n_truncated = jnp.sum(jnp.maximum(full_counts - K, 0)).astype(jnp.int32)
 
     k = jnp.arange(K, dtype=jnp.int32)
-    gather_pos = jnp.minimum(starts[:, None] + k[None, :], tile_flat.shape[0] - 1)
+    gather_pos = jnp.minimum(starts[:, None] + k[None, :],
+                             tile_flat.shape[0] - 1)
     gauss_index = idx_s[gather_pos]  # [T, K]
     kmask = k[None, :] < counts[:, None]
     gauss_index = jnp.where(kmask, gauss_index, 0)

@@ -307,3 +307,53 @@ def _blend_tiles_bwd(consts, res, cts):
 
 
 blend_tiles.defvjp(_blend_tiles_fwd, _blend_tiles_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed fast path (Pallas backend): one [T, NC, 16, page] attribute tensor
+# straight from the binning row-gather — no per-field gathers or packing.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def blend_tiles_packed(
+    consts: BlendConsts,
+    attrs_paged: jnp.ndarray,  # [T, NC, 16, page]
+    counts_f: jnp.ndarray,  # [T] float32 (int semantics)
+    bg: jnp.ndarray,  # [3]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (out [T, TH, TW, 3] incl. background, final_T [T, TH, TW])."""
+    out, final_T, _ = _packed_fwd(consts, attrs_paged, counts_f, bg)
+    return out, final_T
+
+
+def _packed_fwd(consts, attrs_paged, counts_f, bg):
+    from gaussiancity_tpu.ops.rasterizer import blend_pallas
+
+    counts = counts_f.astype(jnp.int32)
+    C, final_T, n_contrib = blend_pallas.blend_tiles_pallas_fwd(
+        consts, consts.n_tx, attrs_paged, counts)
+    out = jnp.moveaxis(C, 1, -1) + final_T[..., None] * bg[None, None, None, :]
+    return out, final_T, n_contrib
+
+
+def _packed_fwd_rule(consts, attrs_paged, counts_f, bg):
+    out, final_T, n_contrib = _packed_fwd(consts, attrs_paged, counts_f, bg)
+    return (out, final_T), (attrs_paged, counts_f, bg, final_T, n_contrib)
+
+
+def _packed_bwd_rule(consts, res, cts):
+    from gaussiancity_tpu.ops.rasterizer import blend_pallas
+
+    attrs_paged, counts_f, bg, final_T, n_contrib = res
+    g_out, g_T = cts
+    counts = counts_f.astype(jnp.int32)
+    d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
+    bg_dot_g = jnp.einsum("c,thwc->thw", bg, g_out) + g_T
+    grads = blend_pallas.blend_tiles_pallas_bwd(
+        consts, consts.n_tx, attrs_paged, counts,
+        jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib)
+    return (grads, jnp.zeros_like(counts_f), d_bg)
+
+
+blend_tiles_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)

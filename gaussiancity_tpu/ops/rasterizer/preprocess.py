@@ -6,7 +6,13 @@ Pure JAX, fully differentiable — this replaces the reference's
 (reference: cuda_rasterizer/forward.cu:68-233, backward.cu:140-425).
 On TPU the closed-form math autodiffs; no custom kernel is needed here.
 
-All functions operate on padded fixed-size arrays [N, ...] with an explicit
+TPU layout note: all internal math runs on separate [N] component vectors
+(structure-of-arrays) — [N, 3]-shaped elementwise math would waste 42/43 of
+every vector register to lane padding.  The packed [N, 16] ``attrs16``
+output matches the blend kernels' attribute-row order so the binning gather
+is one row-gather.
+
+All functions operate on padded fixed-size arrays with an explicit
 validity mask, so every shape is static under jit.
 """
 
@@ -21,21 +27,47 @@ from gaussiancity_tpu.camera import CameraParams
 
 
 class Preprocessed(NamedTuple):
-    """Per-Gaussian screen-space state (all [N, ...])."""
+    """Per-Gaussian screen-space state (component vectors, all [N])."""
 
-    mean2d: jnp.ndarray  # [N, 2] pixel coords
-    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
-    color: jnp.ndarray  # [N, 3]
-    opacity: jnp.ndarray  # [N]
-    depth: jnp.ndarray  # [N] camera-space z
-    radius: jnp.ndarray  # [N] int32 pixel radius (0 => culled)
-    valid: jnp.ndarray  # [N] bool — survives culling
+    mx: jnp.ndarray
+    my: jnp.ndarray
+    conic_a: jnp.ndarray
+    conic_b: jnp.ndarray
+    conic_c: jnp.ndarray
+    opacity: jnp.ndarray
+    color_r: jnp.ndarray
+    color_g: jnp.ndarray
+    color_b: jnp.ndarray
+    depth: jnp.ndarray
+    radius: jnp.ndarray  # int32 pixel radius (0 => culled)
+    valid: jnp.ndarray  # bool — survives culling
+
+    @property
+    def mean2d(self) -> jnp.ndarray:  # [N, 2] compatibility view
+        return jnp.stack([self.mx, self.my], axis=-1)
+
+    @property
+    def conic(self) -> jnp.ndarray:  # [N, 3]
+        return jnp.stack([self.conic_a, self.conic_b, self.conic_c], axis=-1)
+
+    @property
+    def color(self) -> jnp.ndarray:  # [N, 3]
+        return jnp.stack([self.color_r, self.color_g, self.color_b], axis=-1)
+
+    def attrs16(self) -> jnp.ndarray:
+        """[N, 16] packed rows: mx, my, ca, cb, cc, op, cr, cg, cb2, 0*7 —
+        the blend kernels' ATTR layout (blend_pallas.py)."""
+        N = self.mx.shape[0]
+        zeros = jnp.zeros((N,), dtype=self.mx.dtype)
+        return jnp.stack(
+            [self.mx, self.my, self.conic_a, self.conic_b, self.conic_c,
+             self.opacity, self.color_r, self.color_g, self.color_b,
+             zeros, zeros, zeros, zeros, zeros, zeros, zeros], axis=-1)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrices from wxyz quaternions [N, 4] (NOT normalized,
-    matching the reference which skips normalization:
-    forward.cu:119 — the GaussianCity pipeline always passes (1,0,0,0))."""
+    matching the reference: forward.cu:119)."""
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(
         [
@@ -49,67 +81,34 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
-                  scale_modifier: float = 1.0) -> jnp.ndarray:
-    """World-space 3D covariance Sigma = R S S^T R^T, upper-triangular packed
-    [N, 6] as (xx, xy, xz, yy, yz, zz) (reference: forward.cu:110-144)."""
-    R = quat_to_rotmat(quats)  # [N, 3, 3]
-    S = scales * scale_modifier  # [N, 3]
-    M = R * S[..., None, :]  # R @ diag(S)
-    Sigma = M @ jnp.swapaxes(M, -1, -2)
-    return jnp.stack(
-        [Sigma[..., 0, 0], Sigma[..., 0, 1], Sigma[..., 0, 2],
-         Sigma[..., 1, 1], Sigma[..., 1, 2], Sigma[..., 2, 2]],
-        axis=-1,
-    )
-
-
-def compute_cov2d(
-    mean3d: jnp.ndarray,
-    cov3d: jnp.ndarray,
-    view: jnp.ndarray,
-    focal_x: float,
-    focal_y: float,
-    tan_fovx: float,
-    tan_fovy: float,
-) -> jnp.ndarray:
-    """EWA splatting 2D covariance [N, 3] = (cov_xx, cov_xy, cov_yy), with the
-    +0.3 low-pass filter (reference: forward.cu:68-105)."""
-    W = view[:3, :3]
-    t = mean3d @ W.T + view[:3, 3]  # camera-space points [N, 3]
-    tz = t[..., 2]
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
-    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
-
-    inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    # Jacobian of perspective projection (rows: du, dv)
-    # J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
-    J00 = focal_x * inv_z
-    J02 = -focal_x * tx * inv_z2
-    J11 = focal_y * inv_z
-    J12 = -focal_y * ty * inv_z2
-
-    # M = J @ W  (2x3 per gaussian)
-    M0 = J00[..., None] * W[0] + J02[..., None] * W[2]  # [N, 3]
-    M1 = J11[..., None] * W[1] + J12[..., None] * W[2]  # [N, 3]
-
-    # Sigma (3x3 symmetric) from packed cov3d
-    c = cov3d
-    Sig = jnp.stack(
-        [jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
-         jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
-         jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1)],
-        axis=-2,
-    )  # [N, 3, 3]
-
-    SigM0 = jnp.einsum("nij,nj->ni", Sig, M0)
-    cxx = jnp.einsum("ni,ni->n", M0, SigM0) + 0.3
-    cxy = jnp.einsum("ni,ni->n", M1, SigM0)
-    SigM1 = jnp.einsum("nij,nj->ni", Sig, M1)
-    cyy = jnp.einsum("ni,ni->n", M1, SigM1) + 0.3
-    return jnp.stack([cxx, cxy, cyy], axis=-1)
+                  scale_modifier: float = 1.0):
+    """World-space 3D covariance Sigma = R S S^T R^T as six [N] component
+    vectors (xx, xy, xz, yy, yz, zz) (reference: forward.cu:110-144)."""
+    r, x, y, z = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    sx = scales[..., 0] * scale_modifier
+    sy = scales[..., 1] * scale_modifier
+    sz = scales[..., 2] * scale_modifier
+    # rotation matrix rows (standard wxyz convention)
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - r * z)
+    r02 = 2.0 * (x * z + r * y)
+    r10 = 2.0 * (x * y + r * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - r * x)
+    r20 = 2.0 * (x * z - r * y)
+    r21 = 2.0 * (y * z + r * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    # M = R diag(s); Sigma = M M^T
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    c_xx = m00 * m00 + m01 * m01 + m02 * m02
+    c_xy = m00 * m10 + m01 * m11 + m02 * m12
+    c_xz = m00 * m20 + m01 * m21 + m02 * m22
+    c_yy = m10 * m10 + m11 * m11 + m12 * m12
+    c_yz = m10 * m20 + m11 * m21 + m12 * m22
+    c_zz = m20 * m20 + m21 * m21 + m22 * m22
+    return c_xx, c_xy, c_xz, c_yy, c_yz, c_zz
 
 
 def ndc_to_pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -132,54 +131,80 @@ def preprocess(
 
     Differentiable w.r.t. means3d, opacities, scales, quats, colors.
     """
-    N = means3d.shape[0]
-    ones = jnp.ones((N, 1), dtype=means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=-1) @ cam.full_proj.T  # [N, 4]
-    p_w = 1.0 / (hom[..., 3] + 1e-7)
-    p_proj = hom[..., :3] * p_w[..., None]
+    px, py, pz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
 
-    view = cam.view_matrix
-    p_view_z = means3d @ view[2, :3] + view[2, 3]
+    # full projective transform (hom = P@w2c @ [p,1])
+    FP = cam.full_proj
+    hx = FP[0, 0] * px + FP[0, 1] * py + FP[0, 2] * pz + FP[0, 3]
+    hy = FP[1, 0] * px + FP[1, 1] * py + FP[1, 2] * pz + FP[1, 3]
+    hw = FP[3, 0] * px + FP[3, 1] * py + FP[3, 2] * pz + FP[3, 3]
+    p_w = 1.0 / (hw + 1e-7)
 
-    cov3d = compute_cov3d(scales, quats, scale_modifier)
-    cov2d = compute_cov2d(
-        means3d, cov3d, view, cam.focal_x, cam.focal_y, cam.tan_fovx, cam.tan_fovy
-    )
+    V = cam.view_matrix
+    tx = V[0, 0] * px + V[0, 1] * py + V[0, 2] * pz + V[0, 3]
+    ty = V[1, 0] * px + V[1, 1] * py + V[1, 2] * pz + V[1, 3]
+    tz = V[2, 0] * px + V[2, 1] * py + V[2, 2] * pz + V[2, 3]
 
-    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
+    c_xx, c_xy, c_xz, c_yy, c_yz, c_zz = compute_cov3d(
+        scales, quats, scale_modifier)
+
+    # EWA 2D covariance (reference: forward.cu:68-105)
+    limx = 1.3 * cam.tan_fovx
+    limy = 1.3 * cam.tan_fovy
+    txc = jnp.clip(tx / tz, -limx, limx) * tz
+    tyc = jnp.clip(ty / tz, -limy, limy) * tz
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    J00 = cam.focal_x * inv_z
+    J02 = -cam.focal_x * txc * inv_z2
+    J11 = cam.focal_y * inv_z
+    J12 = -cam.focal_y * tyc * inv_z2
+    W00, W01, W02 = V[0, 0], V[0, 1], V[0, 2]
+    W10, W11, W12 = V[1, 0], V[1, 1], V[1, 2]
+    W20, W21, W22 = V[2, 0], V[2, 1], V[2, 2]
+    # M = J @ W (rows 0 and 1)
+    a0 = J00 * W00 + J02 * W20
+    a1 = J00 * W01 + J02 * W21
+    a2 = J00 * W02 + J02 * W22
+    b0 = J11 * W10 + J12 * W20
+    b1 = J11 * W11 + J12 * W21
+    b2 = J11 * W12 + J12 * W22
+    # Sigma @ a and Sigma @ b
+    Sa0 = c_xx * a0 + c_xy * a1 + c_xz * a2
+    Sa1 = c_xy * a0 + c_yy * a1 + c_yz * a2
+    Sa2 = c_xz * a0 + c_yz * a1 + c_zz * a2
+    cov_xx = a0 * Sa0 + a1 * Sa1 + a2 * Sa2 + 0.3
+    cov_xy = b0 * Sa0 + b1 * Sa1 + b2 * Sa2
+    Sb0 = c_xx * b0 + c_xy * b1 + c_xz * b2
+    Sb1 = c_xy * b0 + c_yy * b1 + c_yz * b2
+    Sb2 = c_xz * b0 + c_yz * b1 + c_zz * b2
+    cov_yy = b0 * Sb0 + b1 * Sb1 + b2 * Sb2 + 0.3
+
+    det = cov_xx * cov_yy - cov_xy * cov_xy
     det_safe = jnp.where(det == 0.0, 1.0, det)
     inv_det = 1.0 / det_safe
-    conic = jnp.stack(
-        [cov2d[..., 2] * inv_det, -cov2d[..., 1] * inv_det, cov2d[..., 0] * inv_det],
-        axis=-1,
-    )
+    conic_a = cov_yy * inv_det
+    conic_b = -cov_xy * inv_det
+    conic_c = cov_xx * inv_det
 
-    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
-    # NOTE: stop_gradient on the radius path — the reference treats the tile
-    # rect as non-differentiable integer state.
+    mid = 0.5 * (cov_xx + cov_yy)
     lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
     radius = jax.lax.stop_gradient(radius).astype(jnp.int32)
 
-    mean2d = jnp.stack(
-        [ndc_to_pix(p_proj[..., 0], cam.img_w), ndc_to_pix(p_proj[..., 1], cam.img_h)],
-        axis=-1,
-    )
+    mx = ndc_to_pix(hx * p_w, cam.img_w)
+    my = ndc_to_pix(hy * p_w, cam.img_h)
 
-    valid = (
-        valid_in
-        & (p_view_z > near_z)
-        & (det != 0.0)
-        & (radius > 0)
-    )
+    valid = valid_in & (tz > near_z) & (det != 0.0) & (radius > 0)
     radius = jnp.where(valid, radius, 0)
 
     return Preprocessed(
-        mean2d=mean2d,
-        conic=conic,
-        color=colors,
+        mx=mx, my=my,
+        conic_a=conic_a, conic_b=conic_b, conic_c=conic_c,
         opacity=opacities,
-        depth=p_view_z,
+        color_r=colors[..., 0], color_g=colors[..., 1],
+        color_b=colors[..., 2],
+        depth=tz,
         radius=radius,
         valid=valid,
     )
