@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussiancity_tpu.ops.rasterizer.blend import BlendConsts
 
 ATTR_ROWS = 16
+N_GRAD_ROWS = 9
 SUB = 8  # slots vectorized per inner group
 
 
@@ -207,6 +208,7 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
                 ft_ref,  # VMEM [1, TH, TW] final_T
                 nc_ref,  # VMEM [1, TH, TW] n_contrib
                 grads_ref,  # VMEM [1, NC, 16, 128] output
+                scratch_ref,  # VMEM [9, CHUNK, TW] partial-sum scratch
                 ):
     TH, TW = consts.tile_h, consts.tile_w
     NC = attrs_ref.shape[1]
@@ -271,20 +273,26 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
             dL_dG = op * dL_dalpha
             gdx = G * dx
             gdy = G * dy
-            # Scalar stores to VMEM are not supported by Mosaic; store each
-            # reduction as a (1, 1) block at a static (row, lane) offset.
-            def _put(row, val, _j=j, _ci=ci):
-                grads_ref[0, _ci, row: row + 1, _j: _j + 1] = val.reshape(1, 1)
 
-            _put(ROW_MX, jnp.sum(dL_dG * (-gdx * ca - gdy * cb)))
-            _put(ROW_MY, jnp.sum(dL_dG * (-gdy * cc - gdx * cb)))
-            _put(ROW_CA, jnp.sum(-0.5 * gdx * dx * dL_dG))
-            _put(ROW_CB, jnp.sum(-gdx * dy * dL_dG))
-            _put(ROW_CC, jnp.sum(-0.5 * gdy * dy * dL_dG))
-            _put(ROW_OP, jnp.sum(G * dL_dalpha))
-            _put(ROW_CR, jnp.sum(w_pix * g_r))
-            _put(ROW_CG, jnp.sum(w_pix * g_g))
-            _put(ROW_CB2, jnp.sum(w_pix * g_b))
+            # Defer the (expensive) lane reduction: store only the sublane
+            # partial sum (TH, TW) -> (1, TW) per slot; one lane-reduction
+            # per chunk finishes the job below.
+            def _put(row, field, _j=j):
+                scratch_ref[row, _j: _j + 1, :] = jnp.sum(
+                    field, axis=0, keepdims=True)
+
+            _put(ROW_MX, dL_dG * (-gdx * ca - gdy * cb))
+            _put(ROW_MY, dL_dG * (-gdy * cc - gdx * cb))
+            _put(ROW_CA, -0.5 * gdx * dx * dL_dG)
+            _put(ROW_CB, -gdx * dy * dL_dG)
+            _put(ROW_CC, -0.5 * gdy * dy * dL_dG)
+            _put(ROW_OP, G * dL_dalpha)
+            _put(ROW_CR, w_pix * g_r)
+            _put(ROW_CG, w_pix * g_g)
+            _put(ROW_CB2, w_pix * g_b)
+
+        # finish the reductions for the whole chunk in one pass
+        grads_ref[0, ci, 0:N_GRAD_ROWS, :] = jnp.sum(scratch_ref[:], axis=2)
         return (ci - 1, T_cur, ar_r, ar_g, ar_b, la, lc_r, lc_g, lc_b)
 
     def chunk_cond(state):
@@ -320,6 +328,9 @@ def blend_tiles_pallas_bwd(
         ],
         out_specs=[
             pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_GRAD_ROWS, CHUNK, consts.tile_w), jnp.float32),
         ],
     )
     fn = pl.pallas_call(
