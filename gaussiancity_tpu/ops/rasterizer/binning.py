@@ -102,18 +102,33 @@ def bin_gaussians(
 
     n_dropped = jnp.sum(jnp.maximum(area - D, 0)).astype(jnp.int32)
 
-    pair_depth = jnp.broadcast_to(depth[None, :], (D, N)).astype(jnp.float32)
-    pair_idx = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[None, :], (D, N))
-
-    # Lexicographic stable sort by (tile, depth); invalid pairs (sentinel
-    # tile == num_tiles) sort to the end.
-    tile_flat = tile_id.reshape(-1)
-    depth_flat = pair_depth.reshape(-1)
-    idx_flat = pair_idx.reshape(-1)
-    tile_s, _, idx_s = jax.lax.sort(
-        (tile_flat, depth_flat, idx_flat), num_keys=2, is_stable=True
-    )
+    # Single-int32-key sort: pack (tile, depth-rank).  The global depth
+    # rank (stable argsort of depth) gives each Gaussian a unique order
+    # key, so (tile << bits) | rank reproduces the reference's
+    # (tile, depth, duplication-order) ordering exactly — ties in depth
+    # break by original index like the stable LSB radix sort
+    # (rasterizer_impl.cu:252-260) — with one int key instead of a
+    # 3-operand lexicographic sort.
+    rank_bits = max((N - 1).bit_length(), 1)
+    tile_bits = (num_tiles + 1).bit_length()
+    if rank_bits + tile_bits <= 31:
+        order_by_depth = jnp.argsort(depth, stable=True).astype(jnp.int32)
+        rank = jnp.zeros((N,), jnp.int32).at[order_by_depth].set(
+            jnp.arange(N, dtype=jnp.int32))
+        key = (tile_id << rank_bits) | rank[None, :]
+        pair_idx = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None, :], (D, N))
+        key_s, idx_s = jax.lax.sort(
+            (key.reshape(-1), pair_idx.reshape(-1)), num_keys=1)
+        tile_s = key_s >> rank_bits
+    else:  # fall back to the lexicographic sort for huge scenes
+        pair_depth = jnp.broadcast_to(depth[None, :], (D, N)).astype(
+            jnp.float32)
+        pair_idx = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None, :], (D, N))
+        tile_s, _, idx_s = jax.lax.sort(
+            (tile_id.reshape(-1), pair_depth.reshape(-1),
+             pair_idx.reshape(-1)), num_keys=2, is_stable=True)
 
     # Per-tile ranges via binary search (replaces identifyTileRanges,
     # rasterizer_impl.cu:101-124).
@@ -125,8 +140,7 @@ def bin_gaussians(
     n_truncated = jnp.sum(jnp.maximum(full_counts - K, 0)).astype(jnp.int32)
 
     k = jnp.arange(K, dtype=jnp.int32)
-    gather_pos = jnp.minimum(starts[:, None] + k[None, :],
-                             tile_flat.shape[0] - 1)
+    gather_pos = jnp.minimum(starts[:, None] + k[None, :], D * N - 1)
     gauss_index = idx_s[gather_pos]  # [T, K]
     kmask = k[None, :] < counts[:, None]
     gauss_index = jnp.where(kmask, gauss_index, 0)
