@@ -230,7 +230,11 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
 
     grads_ref[0] = jnp.zeros((NC, ATTR_ROWS, CHUNK), dtype=jnp.float32)
 
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    # Slots at k >= max(n_contrib) received no gradient (backward only
+    # visits k < n_contrib, backward.cu:509-513) — skip whole trailing
+    # chunks, mirroring the forward's saturation early-exit.
+    k_hi = jnp.minimum(count, jnp.max(nc))
+    n_chunks = (k_hi + CHUNK - 1) // CHUNK
 
     def chunk_body(state):
         ci, T_cur, ar_r, ar_g, ar_b, la, lc_r, lc_g, lc_b = state
