@@ -134,6 +134,16 @@ def rasterize(
     )
 
 
+def mark_visible(means3d: jnp.ndarray, cam: CameraParams,
+                 near_z: float = 0.2) -> jnp.ndarray:
+    """Frustum visibility mask per point (reference:
+    rasterize_points.cu markVisible / auxiliary.h in_frustum: camera-space
+    z > 0.2)."""
+    V = cam.view_matrix
+    z = means3d @ V[2, :3] + V[2, 3]
+    return z > near_z
+
+
 def unpack_points14(points: jnp.ndarray):
     """Split the packed 14-channel point layout (dgr/__init__.py:404-420)."""
     assert points.shape[-1] == 14, "points must have 14 channels"

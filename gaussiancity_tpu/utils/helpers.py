@@ -107,6 +107,26 @@ def get_z(key, instances: jnp.ndarray, z_dim: Optional[int],
     return jax.vmap(jax.vmap(point_z))(idx)
 
 
+def get_camera_look_at(cam_position, cam_quaternion, step: float = 1000.0):
+    """Point `step` units along the camera forward axis
+    (reference: utils/helpers.py:162-164)."""
+    from gaussiancity_tpu.camera import quat_xyzw_to_matrix
+
+    R = quat_xyzw_to_matrix(np.asarray(cam_quaternion, np.float64))
+    return np.asarray(cam_position, np.float64) + R[:, 0] * step
+
+
+def repeat_pts(pts: jnp.ndarray, repeat: int = 1) -> jnp.ndarray:
+    """Tile points with a fractional repeat-index channel appended
+    (reference: utils/helpers.py:175-180). pts: [B, N, C]."""
+    b, n, _ = pts.shape
+    pts_r = jnp.tile(pts, (1, repeat, 1))
+    idx = (jnp.arange(repeat, dtype=pts.dtype) / repeat)
+    idx = jnp.repeat(idx, n)[None, :, None]
+    idx = jnp.broadcast_to(idx, (b, n * repeat, 1))
+    return jnp.concatenate([pts_r, idx], axis=-1)
+
+
 def get_projection_uv(xyz: jnp.ndarray, proj_tlp: Optional[jnp.ndarray],
                       proj_size: float) -> jnp.ndarray:
     """[-1, 1] uv of each point on the projection map
