@@ -197,6 +197,10 @@ class PTv3Config(_Base):
     dec_patch_size: Tuple[int, ...] = (1024, 1024, 1024, 1024)
     mlp_ratio: float = 4.0
     enable_cpe: bool = True
+    # Static capacity divisor per pooled stage (1 = keep full point count;
+    # the reference shrinks dynamically via torch.unique). Real shell data
+    # merges >= 8 points/cluster, so 2 is conservative.
+    pool_capacity_divisor: int = 1
 
 
 @dataclass(frozen=True)
@@ -335,7 +339,7 @@ def bldg_recipe(dataset: str = "GOOGLE_EARTH") -> Config:
         encoder_out_dim=3,
         pos_emd="SIN_COS",
         z_dim=256,
-        ptv3=PTv3Config(enabled=True),
+        ptv3=PTv3Config(enabled=True, pool_capacity_divisor=2),
     )
     return Config(exp_name="BLDG", dataset=ds, network=net)
 

@@ -135,6 +135,9 @@ class SubMConv(nn.Module):
 
         feat_m = jnp.where(valid[:, None], feat, 0.0)
 
+        # checkpoint: recompute the neighbor gather in the backward instead
+        # of storing a [N, C] residual per kernel offset
+        @jax.checkpoint
         def body(acc, xs):
             off, w = xs
             nb_key = keys + off
@@ -192,16 +195,26 @@ class PatchAttention(nn.Module):
         src = order[pad_pos]  # original indices, padded
 
         qkv_s = qkv[src].reshape(n_patches, K, 3, H, hd)
-        q = qkv_s[:, :, 0].transpose(0, 2, 1, 3)  # [P, H, K, hd]
-        k = qkv_s[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv_s[:, :, 2].transpose(0, 2, 1, 3)
-
-        attn = jnp.einsum("phkd,phmd->phkm", q * scale, k)
         kmask = key_valid.reshape(n_patches, 1, 1, K)
-        attn = jnp.where(kmask, attn, -1e9)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("phkm,phmd->phkd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(N, C)
+
+        # One patch at a time (lax.scan) with rematerialization: the
+        # [H, K, K] attention matrix lives only transiently per patch —
+        # at the reference's K=1024, H=32 a batched [P, H, K, K] would be
+        # gigabytes.  The scan body recomputes it in the backward.
+        @jax.checkpoint
+        def per_patch(carry, xs):
+            qkv_p, mask_p = xs  # [K, 3, H, hd], [1, 1, K]
+            q = qkv_p[:, 0].transpose(1, 0, 2)  # [H, K, hd]
+            kk = qkv_p[:, 1].transpose(1, 0, 2)
+            vv = qkv_p[:, 2].transpose(1, 0, 2)
+            attn = jnp.einsum("hkd,hmd->hkm", q * scale, kk)
+            attn = jnp.where(mask_p, attn, -1e9)
+            attn = jax.nn.softmax(attn, axis=-1)
+            o = jnp.einsum("hkm,hmd->hkd", attn, vv)
+            return carry, o.transpose(1, 0, 2).reshape(K, C)
+
+        _, out = jax.lax.scan(per_patch, 0, (qkv_s, kmask))
+        out = out.reshape(N, C)
 
         # scatter back to point order
         out = out[inverse]
@@ -286,15 +299,24 @@ def pool_clusters(codes, order, valid, stride):
 
 class SerializedPooling(nn.Module):
     """proj -> segment-max over clusters -> BN -> GELU
-    (reference: models/pt_v3.py:957-1063)."""
+    (reference: models/pt_v3.py:957-1063).
+
+    ``capacity`` bounds the pooled level's static size: the reference's
+    stride-2^k pooling shrinks each level dynamically; here clusters beyond
+    the capacity are clamped into the last slot (choose capacities so real
+    data never overflows — shell extrusions merge >= 8 z-steps per cluster,
+    so capacity = N/2 per stage is conservative).
+    """
 
     out_channels: int
     stride: int
+    capacity: int = 0  # 0 => keep full N
 
     @nn.compact
     def __call__(self, feat, coord, grid_coord, codes, order, valid, count,
                  grid_size, orders, depth, train: bool):
         N = feat.shape[0]
+        cap = self.capacity or N
         cluster, head, n_clusters, seg_sorted, code0_sorted, pdepth = \
             pool_clusters(codes, order, valid, self.stride)
         valid_sorted = valid[order[0]]
@@ -320,23 +342,30 @@ class SerializedPooling(nn.Module):
         head_orig = order[0][head_idx_sorted]  # original idx of cluster head
         new_grid = (grid_coord[head_orig] >> pdepth)
 
-        new_valid = jnp.arange(N, dtype=jnp.int32) < n_clusters
+        n_kept = jnp.minimum(n_clusters, cap)
+        new_valid = jnp.arange(cap, dtype=jnp.int32) < n_kept
         # next level's codes = this level's codes at cluster heads, shifted
         # (reference: models/pt_v3.py:1005-1016)
-        new_codes = codes[:, head_orig] >> (pdepth * 3)
+        new_codes = codes[:, head_orig[:cap]] >> (pdepth * 3)
         new_codes = jnp.where(new_valid[None, :], new_codes,
                               ser.INVALID_CODE)
         new_order = jnp.argsort(new_codes, axis=1, stable=True).astype(jnp.int32)
-        ar = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), new_codes.shape)
+        ar = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32),
+                              new_codes.shape)
         new_inverse = jnp.zeros_like(new_order).at[
             jnp.arange(new_codes.shape[0])[:, None], new_order].set(ar)
+
+        pooled = pooled[:cap]
+        new_coord = new_coord[:cap]
+        new_grid = new_grid[:cap]
+        cluster = jnp.minimum(cluster, cap - 1)
 
         pooled = MaskedBatchNorm(name="norm")(pooled, new_valid, train)
         pooled = gelu(pooled)
         return dict(
             feat=pooled, coord=new_coord, grid_coord=new_grid,
             codes=new_codes, order=new_order, inverse=new_inverse,
-            valid=new_valid, count=n_clusters, cluster=cluster,
+            valid=new_valid, count=n_kept, cluster=cluster,
         )
 
 
@@ -402,8 +431,10 @@ class PTv3Single(nn.Module):
         di = 0
         for s in range(n_stages):
             if s > 0:
+                cap = max(N // (cfg.pool_capacity_divisor ** s),
+                          min(cfg.enc_patch_size[s], N))
                 pooled = SerializedPooling(
-                    cfg.enc_channels[s], cfg.stride[s - 1],
+                    cfg.enc_channels[s], cfg.stride[s - 1], cap,
                     name=f"enc{s}_down",
                 )(state["feat"], state["coord"], state["grid_coord"],
                   state["codes"], state["order"], state["valid"],
@@ -418,7 +449,8 @@ class PTv3Single(nn.Module):
                 state["feat"] = PTBlock(
                     channels=cfg.enc_channels[s],
                     num_heads=cfg.enc_n_head[s],
-                    patch_size=min(cfg.enc_patch_size[s], N),
+                    patch_size=min(cfg.enc_patch_size[s],
+                                   state["feat"].shape[0]),
                     mlp_ratio=self.cfg.mlp_ratio,
                     order_index=b % len(orders),
                     drop_path=enc_dp[di],
@@ -448,7 +480,8 @@ class PTv3Single(nn.Module):
                 state["feat"] = PTBlock(
                     channels=dec_channels[s],
                     num_heads=cfg.dec_n_head[s],
-                    patch_size=min(cfg.dec_patch_size[s], N),
+                    patch_size=min(cfg.dec_patch_size[s],
+                                   state["feat"].shape[0]),
                     mlp_ratio=self.cfg.mlp_ratio,
                     order_index=b % len(orders),
                     drop_path=dp_slice[b],

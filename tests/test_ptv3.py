@@ -173,3 +173,30 @@ class TestPTv3:
                         mask)
         assert out["rgb"].shape == (B, N, 3)
         assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+
+class TestPooledCapacity:
+    def test_divisor_shrinks_and_stays_correct(self):
+        # clustered synthetic data: vertical shell columns -> runs of
+        # consecutive cord codes merge under >>3, so capacity N/2 is safe
+        cfg = tiny_ptv3_cfg().replace(pool_capacity_divisor=2)
+        N = 256
+        key = jax.random.PRNGKey(0)
+        base = jax.random.uniform(key, (32, 2), minval=-1, maxval=1)
+        cols = jnp.repeat(base, 8, axis=0)  # 32 columns x 8 z-steps
+        z = jnp.tile(jnp.linspace(-1, 1, 8), 32)[:, None] * 0.04
+        coord = jnp.concatenate([cols, z], axis=-1)
+        feat = jax.random.normal(jax.random.fold_in(key, 1), (N, 12))
+        valid = jnp.ones((N,), bool)
+        model = PTv3Single(cfg=cfg, in_channels=12)
+        params = model.init(jax.random.PRNGKey(1), feat, coord, valid)
+        out = model.apply(params, feat, coord, valid)
+        assert out.shape == (N, cfg.dec_channels[0])
+        assert np.all(np.isfinite(np.asarray(out)))
+        # padding invariance still holds with capacities
+        valid2 = jnp.arange(N) < 240
+        o1 = model.apply(params, feat, coord, valid2)
+        o2 = model.apply(params, feat.at[240:].set(7.0),
+                         coord.at[240:].set(0.9), valid2)
+        np.testing.assert_allclose(np.asarray(o1[:240]),
+                                   np.asarray(o2[:240]), atol=1e-5)
