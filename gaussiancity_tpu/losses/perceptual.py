@@ -39,13 +39,14 @@ class VGGFeatures(nn.Module):
 
     stages: Tuple[Tuple[int, int], ...] = _VGG19_STAGES
     wanted: Tuple[str, ...] = ("relu_3_1", "relu_4_1", "relu_5_1")
+    dtype: object = None  # compute dtype (weights stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         out = {}
         for si, (ch, n_convs) in enumerate(self.stages, start=1):
             for ci in range(1, n_convs + 1):
-                x = nn.Conv(ch, (3, 3), padding="SAME",
+                x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"conv_{si}_{ci}")(x)
                 x = nn.relu(x)
                 name = f"relu_{si}_{ci}"
@@ -80,12 +81,14 @@ class PerceptualLoss:
         weights: Optional[Sequence[float]] = None,
         criterion: str = "l1",
         num_scales: int = 1,
+        dtype=None,
     ):
         self.layers = tuple(layers)
         self.weights = tuple(weights) if weights is not None else (1.0,) * len(layers)
         assert len(self.layers) == len(self.weights)
         stages = _VGG19_STAGES if network == "vgg19" else _VGG16_STAGES
-        self.model = VGGFeatures(stages=stages, wanted=self.layers)
+        self.model = VGGFeatures(stages=stages, wanted=self.layers,
+                                 dtype=dtype)
         self.criterion = criterion
         self.num_scales = num_scales
 
@@ -102,7 +105,9 @@ class PerceptualLoss:
             fi = self.model.apply(params, normalize_imagenet(inp))
             ft = self.model.apply(params, normalize_imagenet(target))
             for layer, w in zip(self.layers, self.weights):
-                diff = fi[layer] - jax.lax.stop_gradient(ft[layer])
+                diff = (fi[layer].astype(jnp.float32)
+                        - jax.lax.stop_gradient(
+                            ft[layer].astype(jnp.float32)))
                 if self.criterion == "l1":
                     l_tmp = jnp.mean(jnp.abs(diff))
                 else:

@@ -27,6 +27,7 @@ class SNConv(nn.Module):
     features: int
     kernel: int
     stride: int
+    dtype: object = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, update_sn: bool = True):
@@ -39,6 +40,7 @@ class SNConv(nn.Module):
             use_bias=True,
             kernel_init=torch_kaiming_uniform,
             bias_init=torch_bias_uniform(fan_in),
+            dtype=self.dtype,
         )
         sn = nn.SpectralNorm(conv, collection_name="batch_stats")
         x = sn(x, update_stats=update_sn)
@@ -67,26 +69,32 @@ class Discriminator(nn.Module):
 
     n_channel_base: int = 128
     n_classes: int = 8
+    dtype: object = None  # compute dtype, e.g. jnp.bfloat16 (params f32)
 
     @nn.compact
     def __call__(self, images, seg_maps, masks, update_sn: bool = True
                  ) -> Dict[str, jnp.ndarray]:
         """images [B,H,W,3], seg_maps [B,H,W,n_classes], masks [B,H,W,1]."""
         nc = self.n_channel_base
-        feat11 = SNConv(nc, 3, 2, name="enc1")(images * masks, update_sn)
-        feat12 = SNConv(2 * nc, 3, 2, name="enc2")(feat11, update_sn)
-        feat13 = SNConv(4 * nc, 3, 2, name="enc3")(feat12, update_sn)
-        feat14 = SNConv(8 * nc, 3, 2, name="enc4")(feat13, update_sn)
-        feat15 = SNConv(8 * nc, 3, 2, name="enc5")(feat14, update_sn)
+        dt = self.dtype
 
-        feat25 = SNConv(4 * nc, 1, 1, name="lat5")(feat15, update_sn)
-        feat24 = _up2x(feat25, feat14.shape) + SNConv(4 * nc, 1, 1,
-                                                      name="lat4")(feat14, update_sn)
-        feat23 = _up2x(feat24, feat13.shape) + SNConv(4 * nc, 1, 1,
-                                                      name="lat3")(feat13, update_sn)
-        feat22 = _up2x(feat23, feat12.shape) + SNConv(4 * nc, 1, 1,
-                                                      name="lat2")(feat12, update_sn)
-        feat32 = SNConv(2 * nc, 3, 1, name="final2")(feat22, update_sn)
+        def sn(f, k, st, name):
+            return SNConv(f, k, st, dtype=dt, name=name)
+
+        feat11 = sn(nc, 3, 2, "enc1")(images * masks, update_sn)
+        feat12 = sn(2 * nc, 3, 2, "enc2")(feat11, update_sn)
+        feat13 = sn(4 * nc, 3, 2, "enc3")(feat12, update_sn)
+        feat14 = sn(8 * nc, 3, 2, "enc4")(feat13, update_sn)
+        feat15 = sn(8 * nc, 3, 2, "enc5")(feat14, update_sn)
+
+        feat25 = sn(4 * nc, 1, 1, "lat5")(feat15, update_sn)
+        feat24 = _up2x(feat25, feat14.shape) + sn(4 * nc, 1, 1,
+                                                  "lat4")(feat14, update_sn)
+        feat23 = _up2x(feat24, feat13.shape) + sn(4 * nc, 1, 1,
+                                                  "lat3")(feat13, update_sn)
+        feat22 = _up2x(feat23, feat12.shape) + sn(4 * nc, 1, 1,
+                                                  "lat2")(feat12, update_sn)
+        feat32 = sn(2 * nc, 3, 1, "final2")(feat22, update_sn)
 
         out_conv = nn.Conv(
             self.n_classes + 1, (1, 1), use_bias=True,
@@ -94,7 +102,8 @@ class Discriminator(nn.Module):
             bias_init=torch_bias_uniform(2 * nc),
             name="output",
         )
-        pred = nn.leaky_relu(out_conv(feat32), negative_slope=0.2)
+        pred = nn.leaky_relu(out_conv(feat32.astype(jnp.float32)),
+                             negative_slope=0.2)
         label = smooth_interp(seg_maps * masks, feat32.shape[1:3])
         return {"pred": pred, "label": label}
 

@@ -91,14 +91,18 @@ class Trainer:
             cfg=cfg.network, n_classes=ds.n_classes, proj_size=ds.proj_size
         )
         self.use_disc = cfg.train.discriminator.enabled
+        compute_dtype = (jnp.bfloat16
+                         if cfg.train.compute_dtype == "bfloat16" else None)
         self.discriminator = Discriminator(
             n_channel_base=cfg.network.dis_n_channel_base,
             n_classes=ds.n_classes,
+            dtype=compute_dtype,
         ) if self.use_disc else None
         self.ploss = PerceptualLoss(
             network=cfg.train.perceptual_loss_model,
             layers=cfg.train.perceptual_loss_layers,
             weights=cfg.train.perceptual_loss_weights,
+            dtype=compute_dtype,
         )
         self.camera = CameraModel(
             jnp.asarray(ds.cam_k).reshape(3, 3), ds.sensor_size
