@@ -86,3 +86,15 @@ class TestDatasetGenerator:
         d = np.array([190.0, 20.0])
         d = d / np.linalg.norm(d)
         np.testing.assert_allclose(mid, np.array([10, 10]) + d * 100, atol=1.5)
+
+
+class TestSkyPoints:
+    def test_sky_points(self):
+        pts = dg.get_sky_points(
+            np.array([[0.0, 0.0], [100.0, 0.0]]), cam_z=20.0,
+            cam_fov_y=0.3, patch_size=100, scale=4, class_id=5)
+        assert pts.shape[1] == 5
+        assert (pts[:, 4] == 5).all()
+        assert (pts[:, 3] == 4).all()
+        # spans the camera altitude band
+        assert pts[:, 2].min() <= 20 <= pts[:, 2].max()

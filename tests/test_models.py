@@ -222,3 +222,14 @@ class TestHelpers:
         colors = helpers.get_ins_colors(ids, random=False)
         back = helpers.get_ins_id(colors.astype(np.float64))
         np.testing.assert_array_equal(back, ids)
+
+
+class TestSmoothness:
+    def test_smoothness_loss(self):
+        from gaussiancity_tpu.losses import smoothness_loss
+
+        x = jnp.zeros((1, 16, 16, 1))
+        y = jnp.zeros((1, 16, 16, 1)).at[:, 8:].set(1.0)
+        # identical inputs -> zero; differing curvature -> positive
+        assert float(smoothness_loss(x, x)) == 0.0
+        assert float(smoothness_loss(x, y)) > 0.0
