@@ -207,19 +207,10 @@ class InferencePipeline:
         masks["REST"] = jnp.logical_not(bldg | car)
         return masks
 
-    def render_frame(
-        self,
-        pts9: jnp.ndarray,  # [N, 9] padded
-        pts_mask: jnp.ndarray,  # [N]
-        proj_hf: jnp.ndarray,  # [P, P, 1]
-        proj_seg: jnp.ndarray,  # [P, P, n_classes]
-        proj_tlp: Optional[jnp.ndarray],
-        style_lut: jnp.ndarray,  # [MAX_INSTANCES, z_dim] (or [1,1] unused)
-        cam_pos: jnp.ndarray,
-        cam_quat: jnp.ndarray,
-        road_mask: jnp.ndarray,  # [H, W] bool
-    ) -> jnp.ndarray:
-        """One frame, jittable. Returns [H, W, 3] in [-1, 1]."""
+    def predict_attrs(self, pts9, pts_mask, proj_hf, proj_seg, proj_tlp,
+                      style_lut):
+        """Stage 1 (jittable): per-class attribute prediction -> packed
+        14-ch Gaussian points [N, 14]."""
         ds = self.ds
         pts = pts9[None]
         abs_xyz = pts[..., 0:3]
@@ -253,11 +244,14 @@ class InferencePipeline:
                 attrs_acc[k] = sel
             any_model = True
         assert any_model, "no models given"
+        return helpers.get_gaussian_points(abs_xyz, scales3, attrs_acc)[0]
 
-        gs_pts = helpers.get_gaussian_points(abs_xyz, scales3, attrs_acc)
+    def raster_frame(self, gs_pts, pts_mask, cam_pos, cam_quat, road_mask):
+        """Stage 2 (jittable): rasterize + flips + road blur -> [H, W, 3]."""
+        ds = self.ds
         cam = self.camera.params_traced(cam_pos, cam_quat)
         out = rasterize_points14(
-            gs_pts[0], cam, self.cfg.rasterizer, valid=pts_mask)
+            gs_pts, cam, self.cfg.rasterizer, valid=pts_mask)
         img = out.image
         img = img[:, :, ::-1]  # flip_lr (reference default)
         if ds.flip_ud:
@@ -270,9 +264,27 @@ class InferencePipeline:
         rm = road_mask[..., None].astype(img.dtype)
         return blurred * rm + img * (1 - rm)
 
+    def render_frame(self, pts9, pts_mask, proj_hf, proj_seg, proj_tlp,
+                     style_lut, cam_pos, cam_quat, road_mask):
+        """One frame (two jit stages — kept split so each HLO stays within
+        the remote compiler's request limits)."""
+        gs_pts = self.predict_attrs(pts9, pts_mask, proj_hf, proj_seg,
+                                    proj_tlp, style_lut)
+        return self.raster_frame(gs_pts, pts_mask, cam_pos, cam_quat,
+                                 road_mask)
+
     def get_frame_fn(self):
         if self._frame_fn is None:
-            self._frame_fn = jax.jit(self.render_frame)
+            attrs_fn = jax.jit(self.predict_attrs)
+            raster_fn = jax.jit(self.raster_frame)
+
+            def frame(pts9, pts_mask, proj_hf, proj_seg, proj_tlp,
+                      style_lut, cam_pos, cam_quat, road_mask):
+                gs = attrs_fn(pts9, pts_mask, proj_hf, proj_seg, proj_tlp,
+                              style_lut)
+                return raster_fn(gs, pts_mask, cam_pos, cam_quat, road_mask)
+
+            self._frame_fn = frame
         return self._frame_fn
 
     # ------------------------------------------------------------------
