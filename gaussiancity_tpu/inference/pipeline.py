@@ -207,10 +207,12 @@ class InferencePipeline:
         masks["REST"] = jnp.logical_not(bldg | car)
         return masks
 
-    def predict_attrs(self, pts9, pts_mask, proj_hf, proj_seg, proj_tlp,
-                      style_lut):
+    def predict_attrs(self, params_map, pts9, pts_mask, proj_hf, proj_seg,
+                      proj_tlp, style_lut):
         """Stage 1 (jittable): per-class attribute prediction -> packed
-        14-ch Gaussian points [N, 14]."""
+        14-ch Gaussian points [N, 14].  ``params_map`` (name -> params) is
+        an explicit argument so the (large) parameter trees are jit inputs,
+        not baked-in constants."""
         ds = self.ds
         pts = pts9[None]
         abs_xyz = pts[..., 0:3]
@@ -231,7 +233,8 @@ class InferencePipeline:
         masks = self._class_masks(classes[0])
         attrs_acc: Dict[str, jnp.ndarray] = {}
         any_model = False
-        for name, (module, params) in self.models.items():
+        for name, (module, _) in self.models.items():
+            params = params_map[name]
             m = masks[name]
             z_in = z_pts if module.cfg.z_dim is not None else None
             out = module.apply(
@@ -268,8 +271,9 @@ class InferencePipeline:
                      style_lut, cam_pos, cam_quat, road_mask):
         """One frame (two jit stages — kept split so each HLO stays within
         the remote compiler's request limits)."""
-        gs_pts = self.predict_attrs(pts9, pts_mask, proj_hf, proj_seg,
-                                    proj_tlp, style_lut)
+        params_map = {name: p for name, (_, p) in self.models.items()}
+        gs_pts = self.predict_attrs(params_map, pts9, pts_mask, proj_hf,
+                                    proj_seg, proj_tlp, style_lut)
         return self.raster_frame(gs_pts, pts_mask, cam_pos, cam_quat,
                                  road_mask)
 
@@ -277,11 +281,12 @@ class InferencePipeline:
         if self._frame_fn is None:
             attrs_fn = jax.jit(self.predict_attrs)
             raster_fn = jax.jit(self.raster_frame)
+            params_map = {name: p for name, (_, p) in self.models.items()}
 
             def frame(pts9, pts_mask, proj_hf, proj_seg, proj_tlp,
                       style_lut, cam_pos, cam_quat, road_mask):
-                gs = attrs_fn(pts9, pts_mask, proj_hf, proj_seg, proj_tlp,
-                              style_lut)
+                gs = attrs_fn(params_map, pts9, pts_mask, proj_hf, proj_seg,
+                              proj_tlp, style_lut)
                 return raster_fn(gs, pts_mask, cam_pos, cam_quat, road_mask)
 
             self._frame_fn = frame

@@ -230,25 +230,6 @@ def _blend_bwd_impl(
     return d_m2d, d_con, d_col, d_op, d_bg
 
 
-def _dispatch_fwd(consts, mean2d_g, conic_g, color_g, opacity_g, kvalid,
-                  x0f, y0f, bg):
-    """Run the fwd on the configured backend; uniform return layout
-    (out [T,TH,TW,3] incl. background, final_T, n_contrib)."""
-    if consts.backend == "pallas":
-        from gaussiancity_tpu.ops.rasterizer import blend_pallas
-
-        counts = jnp.sum(kvalid, axis=1).astype(jnp.int32)
-        attrs = blend_pallas.pack_attrs(mean2d_g, conic_g, color_g, opacity_g)
-        C, final_T, n_contrib = blend_pallas.blend_tiles_pallas_fwd(
-            consts, consts.n_tx, attrs, counts
-        )
-        out = jnp.moveaxis(C, 1, -1) + final_T[..., None] * bg[None, None, None, :]
-        return out, final_T, n_contrib
-    return _blend_fwd_impl(
-        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
-    )
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def blend_tiles(
     consts: BlendConsts,
@@ -261,9 +242,10 @@ def blend_tiles(
     y0f: jnp.ndarray,
     bg: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Blend per-tile gathered Gaussians. Returns (out [T,TH,TW,3],
+    """Blend per-tile gathered Gaussians (portable XLA path; the Pallas
+    fast path is ``blend_tiles_packed``). Returns (out [T,TH,TW,3],
     final_T [T,TH,TW])."""
-    out, final_T, _ = _dispatch_fwd(
+    out, final_T, _ = _blend_fwd_impl(
         consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
     )
     return out, final_T
@@ -271,7 +253,7 @@ def blend_tiles(
 
 def _blend_tiles_fwd(consts, mean2d_g, conic_g, color_g, opacity_g, kvalid,
                      x0f, y0f, bg):
-    out, final_T, n_contrib = _dispatch_fwd(
+    out, final_T, n_contrib = _blend_fwd_impl(
         consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg
     )
     res = (mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
@@ -283,23 +265,10 @@ def _blend_tiles_bwd(consts, res, cts):
     (mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f, bg,
      final_T, n_contrib) = res
     g_out, g_T = cts
-    if consts.backend == "pallas":
-        from gaussiancity_tpu.ops.rasterizer import blend_pallas
-
-        counts = jnp.sum(kvalid, axis=1).astype(jnp.int32)
-        attrs = blend_pallas.pack_attrs(mean2d_g, conic_g, color_g, opacity_g)
-        d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
-        bg_dot_g = jnp.einsum("c,thwc->thw", bg, g_out) + g_T
-        grads = blend_pallas.blend_tiles_pallas_bwd(
-            consts, consts.n_tx, attrs, counts,
-            jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib,
-        )
-        d_m2d, d_con, d_col, d_op = blend_pallas.unpack_grads(grads)
-    else:
-        d_m2d, d_con, d_col, d_op, d_bg = _blend_bwd_impl(
-            consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f,
-            bg, final_T, n_contrib, g_out, g_T,
-        )
+    d_m2d, d_con, d_col, d_op, d_bg = _blend_bwd_impl(
+        consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f,
+        bg, final_T, n_contrib, g_out, g_T,
+    )
     zeros_kv = jnp.zeros_like(kvalid)
     zeros_x0 = jnp.zeros_like(x0f)
     zeros_y0 = jnp.zeros_like(y0f)
