@@ -115,25 +115,43 @@ class RemoveUnseenPoints:
         return data
 
 
+def _normalize_rel_cords(pts: "np.ndarray", centers) -> "np.ndarray":
+    """Vectorized per-instance normalization shared by the training
+    transform and the inference pipeline (reference loops per instance:
+    utils/transforms.py:194-204, scripts/inference.py:345-360).
+
+    pts: [N, >=5] with instance id in column 4 (also the last of the first
+    5). Returns [N, 4]: rel_xyz + dense batch idx.
+    """
+    import numpy as np
+
+    ids = pts[:, 4].astype(np.int64)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    ctr = np.array([centers.get(int(u), (0.0, 0.0, 0.0, 0.0, 0.0))
+                    if hasattr(centers, "get") else centers[int(u)]
+                    for u in uniq], dtype=np.float32).reshape(-1, 5)
+    c = ctr[inv]  # [N, 5] -> cx, cy, w, h, d
+    x = pts[:, 0].astype(np.float32)
+    y = pts[:, 1].astype(np.float32)
+    z = pts[:, 2].astype(np.float32)
+    rel = np.zeros((len(pts), 3), np.float32)
+    w, h, d = c[:, 2], c[:, 3], c[:, 4]
+    rel[:, 0] = np.where(w > 0, (x - c[:, 0]) / np.maximum(w, 1e-9) * 2, 0)
+    rel[:, 1] = np.where(h > 0, (y - c[:, 1]) / np.maximum(h, 1e-9) * 2, 0)
+    rel[:, 2] = np.where(d > 0,
+                         np.clip(z / np.maximum(d, 1e-9) * 2 - 1, -1, 1), 0)
+    return np.concatenate([rel, inv.astype(np.float32)[:, None]], axis=1)
+
+
 class NormalizePointCords:
     """Per-instance relative xyz from CENTERS + dense batch_idx
-    (reference: utils/transforms.py:186-206)."""
+    (reference: utils/transforms.py:186-206), vectorized."""
 
     def __call__(self, data, rng):
         pts = data["pts"]
-        instances = np.unique(pts[:, -1])
-        rel = pts[:, :3].copy().astype(np.float32)
-        bidx = np.zeros((pts.shape[0], 1), dtype=np.float32)
-        for idx, ins in enumerate(instances):
-            is_pts = pts[:, -1] == ins
-            cx, cy, w, h, d = data["centers"][int(ins)]
-            rel[is_pts, 0] = (pts[is_pts, 0] - cx) / w * 2 if w > 0 else 0
-            rel[is_pts, 1] = (pts[is_pts, 1] - cy) / h * 2 if h > 0 else 0
-            rel[is_pts, 2] = (
-                np.clip(pts[is_pts, 2] / d * 2 - 1, -1, 1) if d > 0 else 0)
-            bidx[is_pts, 0] = idx
+        rel_bidx = _normalize_rel_cords(pts, data["centers"])
         data["pts"] = np.concatenate(
-            [pts.astype(np.float32), rel, bidx], axis=1)
+            [pts.astype(np.float32), rel_bidx], axis=1)
         return data
 
 

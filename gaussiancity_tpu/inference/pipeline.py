@@ -174,19 +174,11 @@ class InferencePipeline:
 
     def normalize_points(self, pts: np.ndarray, centers) -> np.ndarray:
         """[N, 5] -> [N, 9] with per-instance rel coords + batch idx
-        (reference: scripts/inference.py:345-360)."""
-        instances = np.unique(pts[:, 4])
-        rel = pts[:, :3].copy().astype(np.float32)
-        bidx = np.zeros((pts.shape[0], 1), np.float32)
-        for idx, ins in enumerate(instances):
-            m = pts[:, 4] == ins
-            cx, cy, w, h, dd = centers.get(int(ins), (0, 0, 0, 0, 0))
-            rel[m, 0] = (pts[m, 0] - cx) / w * 2 if w > 0 else 0
-            rel[m, 1] = (pts[m, 1] - cy) / h * 2 if h > 0 else 0
-            rel[m, 2] = (np.clip(pts[m, 2] / dd * 2 - 1, -1, 1)
-                         if dd > 0 else 0)
-            bidx[m, 0] = idx
-        return np.concatenate([pts.astype(np.float32), rel, bidx], axis=1)
+        (reference: scripts/inference.py:345-360), vectorized."""
+        from gaussiancity_tpu.data.transforms import _normalize_rel_cords
+
+        rel_bidx = _normalize_rel_cords(pts, centers)
+        return np.concatenate([pts.astype(np.float32), rel_bidx], axis=1)
 
     # ------------------------------------------------------------------
     # jitted per-frame renderer
