@@ -41,7 +41,13 @@ def points_to_volume(
     valid=None,
 ) -> jnp.ndarray:
     """Volume [h, w, d] int32, each point filling its scale box
-    (points_to_volume.cu:21-79; layout volume[y, x, z])."""
+    (points_to_volume.cu:21-79; layout volume[y, x, z]).
+
+    TPU formulation: one base-voxel scatter per distinct (isotropic) scale
+    value, then a max-pool dilation spreads each id over its scale box —
+    replaces scale^3 masked scatters (XLA scatters are the slow op here;
+    reduce_window is fast).  Overlaps combine by max (deterministic; the
+    CUDA kernel is racy last-write-wins there)."""
     N = points.shape[0]
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
@@ -49,22 +55,28 @@ def points_to_volume(
     in_range = (
         valid & (x >= 0) & (x < w) & (y >= 0) & (y < h) & (z >= 0) & (z < d)
     )
+    xi = jnp.clip(x, 0, w - 1)
+    yi = jnp.clip(y, 0, h - 1)
+    zi = jnp.clip(z, 0, d - 1)
+
     vol = jnp.zeros((h, w, d), dtype=jnp.int32)
-    for dx in range(max_scale):
-        for dy in range(max_scale):
-            for dz in range(max_scale):
-                m = (
-                    in_range
-                    & (dx < scales[:, 0]) & (dy < scales[:, 1])
-                    & (dz < scales[:, 2])
-                )
-                xi = jnp.minimum(x + dx, w - 1)
-                yi = jnp.minimum(y + dy, h - 1)
-                zi = jnp.minimum(z + dz, d - 1)
-                ids = jnp.where(m, pt_ids, 0)
-                # max-combine keeps deterministic semantics for overlapping
-                # boxes (the CUDA kernel is racy last-write-wins there)
-                vol = vol.at[yi, xi, zi].max(ids)
+    # distinct (sxy, sz) groups: isotropic boxes plus the z=1 variants the
+    # special z-scale classes produce (utils/helpers.py:197-223)
+    groups = [(s, sz) for s in range(1, max_scale + 1)
+              for sz in ({1, s} if s > 1 else {1})]
+    for s, sz in groups:
+        m = in_range & (scales[:, 0] == s) & (scales[:, 2] == sz)
+        ids = jnp.where(m, pt_ids, 0)
+        base = jnp.zeros((h, w, d), dtype=jnp.int32).at[yi, xi, zi].max(ids)
+        if s > 1 or sz > 1:
+            # dilate over the [0,s)x[0,s)x[0,sz) box: max over a window
+            # ending at each voxel
+            base = jax.lax.reduce_window(
+                base, jnp.int32(0), jax.lax.max,
+                window_dimensions=(s, s, sz), window_strides=(1, 1, 1),
+                padding=((s - 1, 0), (s - 1, 0), (sz - 1, 0)),
+            )
+        vol = jnp.maximum(vol, base)
     return vol
 
 
