@@ -159,12 +159,19 @@ class InferencePipeline:
         h, w, d = self.vol_shape
         W, H = self.ds.sensor_size
         K = np.asarray(self.ds.cam_k).reshape(3, 3)
-        vp_map, ins_map = vis.get_visible_points(
+        if not hasattr(self, "_vis_fn"):
+            import functools
+
+            self._vis_fn = jax.jit(functools.partial(
+                vis.get_visible_points,
+                cam_f=float(K[0, 0]),
+                cam_c=(float(K[1, 2]), float(K[0, 2])),
+                img_dims=(H, W), vol_shape=self.vol_shape))
+        vp_map, ins_map = self._vis_fn(
             jnp.asarray(points, jnp.int32), jnp.asarray(scales3),
             jnp.asarray(cam_pos, jnp.float32),
             jnp.asarray(cam_quat, jnp.float32),
-            float(K[0, 0]), (float(K[1, 2]), float(K[0, 2])), (H, W),
-            self.vol_shape, jnp.asarray(offsets),
+            offsets=jnp.asarray(offsets),
         )
         vp = np.asarray(vp_map)
         ins_map = np.asarray(ins_map)

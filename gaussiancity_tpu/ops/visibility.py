@@ -100,8 +100,6 @@ def ray_voxel_intersection(
     h, w, d = volume.shape
     H, W = img_dims
     vol_flat = volume.reshape(-1)
-    dims = jnp.asarray([h, w, d], dtype=jnp.int32)
-    strides = jnp.asarray([w * d, d, 1], dtype=jnp.int32)
 
     # Camera basis (ray_voxel_intersection.cu host code builds fwd/side/up
     # from viewdir and world-up by Gram-Schmidt; mirrored here)
@@ -121,75 +119,90 @@ def ray_voxel_intersection(
         + fwd[None, None] * cam_f
     )
     raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
-    rd = raydir.reshape(-1, 3)  # [R, 3]
-    R = rd.shape[0]
-    ro = jnp.broadcast_to(cam_ori[None], (R, 3))
+    R = H * W
 
-    axis_int = jnp.floor(ro).astype(jnp.int32)  # [R, 3]
-    pos_dir = rd > 0
-    axis_t = jnp.where(
-        rd > 0,
-        (axis_int.astype(jnp.float32) + 1.0 - ro) / rd,
-        jnp.where(rd < 0, (axis_int.astype(jnp.float32) - ro) / rd, jnp.inf),
-    )
+    # SoA components — [R, 3] elementwise math would waste 42/43 of each
+    # vector register to lane padding (see CLAUDE.md layout rules).
+    rd = [raydir[..., i].reshape(-1) for i in range(3)]
+    ro = [jnp.full((R,), cam_ori[i], jnp.float32) for i in range(3)]
+    ai = [jnp.floor(ro[i]).astype(jnp.int32) for i in range(3)]
+    pos = [rd[i] > 0 for i in range(3)]
+    dims_l = [h, w, d]
+    strides_l = [w * d, d, 1]
+
+    def init_t(i):
+        return jnp.where(
+            rd[i] > 0, (ai[i].astype(jnp.float32) + 1.0 - ro[i]) / rd[i],
+            jnp.where(rd[i] < 0,
+                      (ai[i].astype(jnp.float32) - ro[i]) / rd[i], jnp.inf))
+
+    at = [init_t(i) for i in range(3)]
 
     if max_steps is None:
         max_steps = h + w + d + 3
 
     def cond(state):
-        i, done, *_ = state
+        i, done = state[0], state[1]
         return (i < max_steps) & jnp.logical_not(jnp.all(done))
 
     def body(state):
-        i, done, axis_int, axis_t, hit_id, hit_t = state
-        # pick the axis with the smallest t, tie-break x<y<z like the CUDA
-        # hand-unrolled chain (ray_voxel_intersection.cu:127-176)
-        t01 = axis_t[:, 0] <= axis_t[:, 1]
-        t02 = axis_t[:, 0] <= axis_t[:, 2]
-        t12 = axis_t[:, 1] <= axis_t[:, 2]
-        ax = jnp.where(t01 & t02, 0, jnp.where(t12, 1, 2))  # [R]
-        tnow = jnp.take_along_axis(axis_t, ax[:, None], axis=1)[:, 0]
+        (i, done, ax0i, ax1i, ax2i, at0, at1, at2, hit_id, hit_t) = state
+        aint = [ax0i, ax1i, ax2i]
+        at_ = [at0, at1, at2]
+        # smallest-t axis, tie-break x<y<z (ray_voxel_intersection.cu:127-176)
+        t01 = at_[0] <= at_[1]
+        t02 = at_[0] <= at_[2]
+        t12 = at_[1] <= at_[2]
+        sel0 = t01 & t02
+        sel1 = jnp.logical_not(sel0) & t12
+        sel2 = jnp.logical_not(sel0) & jnp.logical_not(t12)
+        tnow = jnp.where(sel0, at_[0], jnp.where(sel1, at_[1], at_[2]))
 
-        step = jnp.where(jnp.take_along_axis(pos_dir, ax[:, None], 1)[:, 0],
-                         1, -1)
-        cur = jnp.take_along_axis(axis_int, ax[:, None], 1)[:, 0] + step
-        axis_int2 = jnp.where(
-            jax.nn.one_hot(ax, 3, dtype=bool), cur[:, None], axis_int)
-        dim_ax = dims[ax]
-        quit_now = jnp.where(step > 0, cur >= dim_ax, cur < 0)
-        new_t = jnp.where(
-            step > 0,
-            (cur.astype(jnp.float32) + 1.0
-             - jnp.take_along_axis(ro, ax[:, None], 1)[:, 0])
-            / jnp.take_along_axis(rd, ax[:, None], 1)[:, 0],
-            (cur.astype(jnp.float32)
-             - jnp.take_along_axis(ro, ax[:, None], 1)[:, 0])
-            / jnp.take_along_axis(rd, ax[:, None], 1)[:, 0],
-        )
-        axis_t2 = jnp.where(
-            jax.nn.one_hot(ax, 3, dtype=bool), new_t[:, None], axis_t)
+        new_aint = []
+        new_at = []
+        quit_now = jnp.zeros_like(done)
+        for i_ax, sel in enumerate((sel0, sel1, sel2)):
+            step = jnp.where(pos[i_ax], 1, -1)
+            cur = aint[i_ax] + jnp.where(sel, step, 0)
+            out_hi = pos[i_ax] & (cur >= dims_l[i_ax])
+            out_lo = jnp.logical_not(pos[i_ax]) & (cur < 0)
+            quit_now = quit_now | (sel & (out_hi | out_lo))
+            nt = jnp.where(
+                pos[i_ax],
+                (cur.astype(jnp.float32) + 1.0 - ro[i_ax]) / rd[i_ax],
+                (cur.astype(jnp.float32) - ro[i_ax]) / rd[i_ax])
+            new_aint.append(jnp.where(sel, cur, aint[i_ax]))
+            new_at.append(jnp.where(sel, nt, at_[i_ax]))
 
-        inside = jnp.all(
-            (axis_int2 >= 0) & (axis_int2 < dims[None, :]), axis=1)
-        lin = jnp.sum(axis_int2 * strides[None, :], axis=1)
+        inside = (
+            (new_aint[0] >= 0) & (new_aint[0] < h)
+            & (new_aint[1] >= 0) & (new_aint[1] < w)
+            & (new_aint[2] >= 0) & (new_aint[2] < d))
+        lin = (new_aint[0] * strides_l[0] + new_aint[1] * strides_l[1]
+               + new_aint[2])
         lin = jnp.clip(lin, 0, h * w * d - 1)
         blk = jnp.where(inside, vol_flat[lin], 0)
         newly_hit = jnp.logical_not(done) & (blk != 0)
         hit_id = jnp.where(newly_hit, blk, hit_id)
         hit_t = jnp.where(newly_hit, tnow, hit_t)
-        done = done | newly_hit | (jnp.logical_not(done) & quit_now)
-        return (i + 1, done, jnp.where(done[:, None], axis_int, axis_int2),
-                jnp.where(done[:, None], axis_t, axis_t2), hit_id, hit_t)
+        live = jnp.logical_not(done)
+        done = done | newly_hit | (live & quit_now)
+        keep = done
+        outs = [jnp.where(keep, aint[k], new_aint[k]) for k in range(3)]
+        outt = [jnp.where(keep, at_[k], new_at[k]) for k in range(3)]
+        return (state[0] + 1, done, outs[0], outs[1], outs[2],
+                outt[0], outt[1], outt[2], hit_id, hit_t)
 
     state0 = (
         jnp.int32(0),
         jnp.zeros((R,), dtype=bool),
-        axis_int,
-        axis_t,
+        ai[0], ai[1], ai[2],
+        at[0], at[1], at[2],
         jnp.zeros((R,), dtype=jnp.int32),
         jnp.full((R,), jnp.inf, dtype=jnp.float32),
     )
-    _, _, _, _, hit_id, hit_t = jax.lax.while_loop(cond, body, state0)
+    out_state = jax.lax.while_loop(cond, body, state0)
+    hit_id, hit_t = out_state[8], out_state[9]
     return RaycastResult(
         voxel_id=hit_id.reshape(H, W),
         depth=hit_t.reshape(H, W),
