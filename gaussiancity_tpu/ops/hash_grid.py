@@ -93,42 +93,50 @@ def hash_encode(
     x01 = (inputs + bound) / (2.0 * bound)
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
     S = math.log2(per_level_scale)
-    corners = jnp.asarray(_corner_offsets(D).astype(np.int32))  # [2^D, D]
+    corners_np = _corner_offsets(D)  # [2^D, D] static 0/1
+
+    # SoA per-dimension components ([N, 2^D, D]-shaped math would waste
+    # most of every vector register to lane padding).
+    x01_d = [x01[:, d] for d in range(D)]
 
     outs = []
     for lvl in range(n_levels):
         scale = (2.0 ** (lvl * S)) * base_resolution - 1.0
         resolution = resolutions[lvl]
         hashmap_size = (list(offsets) + [total])[lvl + 1] - offsets[lvl]
-        pos = x01 * scale + 0.5  # align_corners=False
-        pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        pos_grid = pos_grid.astype(jnp.int32)
+        grid_d, frac_d = [], []
+        for d in range(D):
+            pos = x01_d[d] * scale + 0.5  # align_corners=False
+            g = jnp.floor(pos)
+            grid_d.append(g.astype(jnp.int32))
+            frac_d.append(pos - g)
 
-        # corner lattice coords [N, 2^D, D]
-        pc = pos_grid[:, None, :] + corners[None, :, :]
-        # interpolation weights [N, 2^D]
-        w = jnp.prod(
-            jnp.where(corners[None] == 0, 1.0 - frac[:, None, :],
-                      frac[:, None, :]),
-            axis=-1,
-        )
+        # per-corner index + weight, [2^D, N] (corners on the major axis)
+        C2 = 1 << D
+        w = jnp.ones((C2, x01.shape[0]), dtype=x01.dtype)
         if hashed[lvl]:
-            pcu = pc.astype(jnp.uint32)
-            idx = jnp.zeros(pcu.shape[:-1], dtype=jnp.uint32)
+            idx = jnp.zeros((C2, x01.shape[0]), dtype=jnp.uint32)
             for d in range(D):
-                idx = idx ^ (pcu[..., d] * jnp.uint32(_PRIMES[d]))
+                bit = jnp.asarray(corners_np[:, d].astype(np.uint32))[:, None]
+                pc = grid_d[d].astype(jnp.uint32)[None, :] + bit
+                idx = idx ^ (pc * jnp.uint32(_PRIMES[d]))
+                w = w * jnp.where(bit == 0, 1.0 - frac_d[d][None, :],
+                                  frac_d[d][None, :])
             idx = (idx % jnp.uint32(hashmap_size)).astype(jnp.int32)
         else:
             stride = 1
-            idx = jnp.zeros(pc.shape[:-1], dtype=jnp.int32)
+            idx = jnp.zeros((C2, x01.shape[0]), dtype=jnp.int32)
             for d in range(D):
-                idx = idx + pc[..., d] * stride
+                bit = jnp.asarray(corners_np[:, d].astype(np.int32))[:, None]
+                pc = grid_d[d][None, :] + bit
+                idx = idx + pc * stride
                 stride *= resolution + 1
+                w = w * jnp.where(bit == 0, 1.0 - frac_d[d][None, :],
+                                  frac_d[d][None, :])
             idx = idx % hashmap_size
         idx = idx + offsets[lvl]
-        vals = embeddings[idx]  # [N, 2^D, C]
-        out = jnp.sum(vals * w[..., None], axis=1)  # [N, C]
+        vals = embeddings[idx]  # [2^D, N, C]
+        out = jnp.sum(vals * w[..., None], axis=0)  # [N, C]
         outs.append(out)
 
     out = jnp.concatenate(outs, axis=-1)  # [N, L*C]
