@@ -63,10 +63,13 @@ def main():
 
     gfn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
     g = jax.block_until_ready(gfn(*scene))  # compile + warmup
-    n_iter = 10
+    n_iter = 20
+    # pipelined: enqueue all steps, block once — gradients stay on device
+    # like in a real training loop (per-iteration sync would measure the
+    # host round-trip, not the device)
     t0 = time.time()
-    for _ in range(n_iter):
-        g = jax.block_until_ready(gfn(*scene))
+    outs = [gfn(*scene) for _ in range(n_iter)]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / n_iter
     rays_per_s = W * H / dt
 
