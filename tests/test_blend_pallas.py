@@ -74,3 +74,30 @@ class TestPallasBlend:
         out_p = rasterize(*scene, cam, CFG_PALLAS)
         np.testing.assert_allclose(out_p.image, out_x.image, atol=1e-6)
         np.testing.assert_allclose(out_p.final_T, out_x.final_T, atol=1e-7)
+
+    def test_truncated_tiles_match(self):
+        # more gaussians in a tile than capacity: nearest-K truncation must
+        # behave identically in both backends
+        cam = make_camera(W=256, H=16)
+        n = 256
+        key = jax.random.PRNGKey(5)
+        means = jnp.stack([
+            jax.random.uniform(key, (n,), minval=8.0, maxval=30.0),
+            jax.random.uniform(jax.random.fold_in(key, 1), (n,),
+                               minval=-1.0, maxval=1.0),
+            jax.random.uniform(jax.random.fold_in(key, 2), (n,),
+                               minval=-0.2, maxval=0.2),
+        ], -1)
+        scene = (
+            means,
+            jnp.full((n,), 0.4),
+            jnp.full((n, 3), 0.3),
+            jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+            jax.random.uniform(jax.random.fold_in(key, 3), (n, 3)),
+        )
+        cfg_small = CFG_XLA.replace(tile_capacity=16, chunk=8,
+                                    max_tiles_per_gaussian=64)
+        out_x = rasterize(*scene, cam, cfg_small)
+        out_p = rasterize(*scene, cam, cfg_small.replace(backend="pallas"))
+        assert int(out_x.n_truncated) > 0, "test needs actual truncation"
+        np.testing.assert_allclose(out_p.image, out_x.image, atol=1e-6)
