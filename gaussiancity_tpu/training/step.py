@@ -341,8 +341,17 @@ def make_parallel_train_step(trainer: Trainer, mesh):
         check_vma=False,
     )
     def step(state, batch, rng):
+        # independent per-shard randomness (z codes), like the reference's
+        # per-rank sampling under DDP
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         state, metrics = trainer.train_step(state, batch, rng,
                                             axis_name="data")
+        # keep the replicated state bitwise identical across shards: the
+        # spectral-norm power-iteration vectors are data-dependent (torch
+        # DDP leaves them per-rank-divergent; we pmean them instead)
+        if state.d_stats is not None:
+            state = state.replace(
+                d_stats=jax.lax.pmean(state.d_stats, "data"))
         metrics = {k: jax.lax.pmean(v, "data") for k, v in metrics.items()}
         return state, metrics
 
