@@ -2,22 +2,28 @@
 # -*- coding: utf-8 -*-
 """Headline benchmark: rays/s (pixels/s) forward+backward at 640x448.
 
-Renders a synthetic city scene (131k padded Gaussians) through the full
+Renders a synthetic city scene (65,536 Gaussians) through the full
 differentiable rasterizer (preprocess -> binning -> Pallas blend -> custom
 VJP) and times jitted fwd+bwd of an L2 loss.  Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}.
+
+``extra`` carries the end-to-end numbers of BASELINE.md configs the driver
+can reproduce: the REST-recipe GAN train-step time (config 2) and one
+inference frame at the full 960x540 sensor (config 4 scale-down), both
+measured pipelined/steady-state.  Set GAUSSIANCITY_BENCH_HEADLINE_ONLY=1
+to skip the extras.
 
 The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
-reported as the ratio to the driver-recorded value of round 1
-(2.0 Mrays/s fwd+bwd) so later rounds show relative progress.
+the ratio to this repo's own round-1 driver-recorded value (2.0 Mrays/s
+fwd+bwd) so later rounds show relative progress.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
-
 
 ROUND1_BASELINE_RAYS_PER_S = 2.0e6
 
@@ -36,13 +42,7 @@ def build_scene(n=65536, seed=0):
     return means, opacity, scales, quats, colors
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def bench_rasterizer(jax, jnp):
     from gaussiancity_tpu.camera import CameraModel
     from gaussiancity_tpu.config import RasterizerConfig
     from gaussiancity_tpu.ops.rasterizer import rasterize
@@ -62,7 +62,7 @@ def main():
         return jnp.sum(out.image ** 2)
 
     gfn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
-    g = jax.block_until_ready(gfn(*scene))  # compile + warmup
+    jax.block_until_ready(gfn(*scene))  # compile + warmup
     n_iter = 20
     # pipelined: enqueue all steps, block once — gradients stay on device
     # like in a real training loop (per-iteration sync would measure the
@@ -71,13 +71,143 @@ def main():
     outs = [gfn(*scene) for _ in range(n_iter)]
     jax.block_until_ready(outs)
     dt = (time.time() - t0) / n_iter
-    rays_per_s = W * H / dt
+    return W * H / dt
+
+
+def synthetic_rest_batch(jax, jnp, cfg, n_pts):
+    ds = cfg.dataset
+    Wc, Hc = ds.train_crop_size
+    P = ds.proj_size
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    depth = jax.random.uniform(ks[0], (1, n_pts), minval=5.0, maxval=250.0)
+    y = jax.random.uniform(ks[1], (1, n_pts), minval=-0.8, maxval=0.8) * depth
+    z = jax.random.uniform(ks[2], (1, n_pts), minval=-0.4, maxval=0.4) * depth
+    pts = jnp.concatenate([
+        jnp.stack([depth, y, z], -1),
+        jax.random.uniform(ks[3], (1, n_pts, 1), minval=0.3, maxval=1.0),
+        jax.random.randint(ks[4], (1, n_pts, 1), 0, 8).astype(jnp.float32),
+        jax.random.uniform(ks[5], (1, n_pts, 3), minval=-1, maxval=1),
+        jnp.zeros((1, n_pts, 1)),
+    ], axis=-1)
+    return {
+        "pts": pts,
+        "pts_mask": jnp.ones((1, n_pts), bool),
+        "rgb": jax.random.uniform(ks[6], (1, Hc, Wc, 3), minval=-1, maxval=1),
+        "seg": jax.nn.one_hot(
+            jax.random.randint(ks[7], (1, Hc, Wc), 0, ds.n_classes),
+            ds.n_classes),
+        "msk": jnp.ones((1, Hc, Wc, 1)),
+        "proj_hf": jnp.zeros((1, P, P, 1)),
+        "proj_seg": jnp.zeros((1, P, P, ds.n_classes)),
+        "cam_pos": jnp.zeros((1, 3)),
+        "cam_quat": jnp.asarray([[0.0, 0.0, 0.0, 1.0]]),
+        "crp_xy": jnp.asarray([[100, 40]], dtype=jnp.int32),
+    }
+
+
+def bench_rest_train_step(jax, jnp):
+    """Full REST-recipe GAN train step (BASELINE.md config 2): 16k points,
+    640x448 crop, D+G updates, L1+VGG+GAN."""
+    from gaussiancity_tpu import config as cfg_mod
+    from gaussiancity_tpu.training.step import Trainer, make_train_step
+
+    cfg = cfg_mod.rest_recipe()
+    cfg = cfg.replace(
+        dataset=cfg.dataset.replace(train_crop_size=(640, 448)),
+        rasterizer=cfg.rasterizer.replace(
+            backend="pallas" if jax.default_backend() == "tpu" else "xla"),
+    )
+    trainer = Trainer(cfg)
+    batch = synthetic_rest_batch(jax, jnp, cfg, cfg.train.max_points)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = make_train_step(trainer)
+    state, _ = jax.block_until_ready(step(state, batch, jax.random.PRNGKey(2)))
+    n_iter = 5
+    t0 = time.time()
+    for i in range(n_iter):
+        state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready((state, metrics))
+    return (time.time() - t0) / n_iter
+
+
+def bench_inference_frame(jax, jnp):
+    """One inference frame at the full 960x540 sensor: 65k-point budget,
+    REST generator + rasterize + road blur (BASELINE.md config 4,
+    scaled-down budget)."""
+    from gaussiancity_tpu import config as cfg_mod
+    from gaussiancity_tpu.inference.pipeline import InferencePipeline
+    from gaussiancity_tpu.models import Generator
+
+    cfg = cfg_mod.rest_recipe()
+    cfg = cfg.replace(rasterizer=cfg.rasterizer.replace(
+        backend="pallas" if jax.default_backend() == "tpu" else "xla"))
+    n = 65536
+    P = cfg.dataset.proj_size
+    gen = Generator(cfg=cfg.network, n_classes=cfg.dataset.n_classes,
+                    proj_size=P)
+    rngk = jax.random.PRNGKey(0)
+    params = gen.init(
+        rngk, jnp.zeros((1, n, 2)), jnp.zeros((1, n, 3)), None,
+        jnp.zeros((1, n, cfg.dataset.n_classes)), None,
+        jnp.zeros((1, P, P, 1)),
+        jnp.zeros((1, P, P, cfg.dataset.n_classes)),
+        jnp.ones((1, n), bool))["params"]
+    pipe = InferencePipeline(cfg, {"REST": (gen, params)}, max_points=n)
+    frame_fn = pipe.get_frame_fn()
+
+    rng = np.random.default_rng(0)
+    pts9 = np.zeros((n, 9), np.float32)
+    pts9[:, 0] = rng.uniform(0, P, n)  # x
+    pts9[:, 1] = rng.uniform(0, P, n)  # y
+    pts9[:, 2] = rng.uniform(0, 40, n)  # z
+    pts9[:, 3] = rng.uniform(0.5, 2.0, n)  # scale
+    pts9[:, 4] = rng.integers(0, 8, n)  # instance
+    pts9[:, 5:8] = rng.uniform(-1, 1, (n, 3))
+    W, H = cfg.dataset.sensor_size
+    args = (
+        jnp.asarray(pts9), jnp.ones((n,), bool),
+        jnp.zeros((P, P, 1)), jnp.zeros((P, P, cfg.dataset.n_classes)),
+        None, jnp.zeros((16384, 1)),
+        jnp.asarray([-300.0, P / 2, 200.0], jnp.float32),
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        jnp.zeros((H, W), bool),
+    )
+    jax.block_until_ready(frame_fn(*args))  # compile + warmup
+    n_iter = 3
+    t0 = time.time()
+    outs = [frame_fn(*args) for _ in range(n_iter)]
+    jax.block_until_ready(outs)
+    return (time.time() - t0) / n_iter
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rays_per_s = bench_rasterizer(jax, jnp)
+
+    extra = {}
+    if os.environ.get("GAUSSIANCITY_BENCH_HEADLINE_ONLY") != "1":
+        try:
+            extra["rest_train_step_ms"] = round(
+                bench_rest_train_step(jax, jnp) * 1e3, 1)
+        except Exception as e:  # never lose the headline to an extra
+            extra["rest_train_step_error"] = repr(e)[:200]
+        try:
+            extra["inference_frame_960x540_ms"] = round(
+                bench_inference_frame(jax, jnp) * 1e3, 1)
+        except Exception as e:
+            extra["inference_frame_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "rays_per_s_fwd_bwd_640x448",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / ROUND1_BASELINE_RAYS_PER_S, 3),
+        "extra": extra,
     }))
     return 0
 

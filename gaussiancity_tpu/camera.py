@@ -85,6 +85,35 @@ def quat_xyzw_to_matrix(q):
     return np.array(rows, dtype=np.float64)
 
 
+def matrix_to_quat_xyzw(R: np.ndarray) -> np.ndarray:
+    """Quaternion (x, y, z, w) from a rotation matrix — inverse of
+    ``quat_xyzw_to_matrix``.  Shepperd's method: build the quaternion from
+    the largest of (trace, R00, R11, R22) for numerical stability; the sign
+    convention (w >= 0) matches scipy's ``Rotation.as_quat``.
+    """
+    R = np.asarray(R, np.float64)
+    m00, m11, m22 = R[0, 0], R[1, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    choices = np.array([tr, m00, m11, m22])
+    k = int(np.argmax(choices))
+    if k == 0:
+        s = 2.0 * np.sqrt(1.0 + tr)
+        q = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                      R[1, 0] - R[0, 1], 0.25 * s * s]) / s
+    else:
+        i = k - 1
+        j, l = (i + 1) % 3, (i + 2) % 3
+        s = 2.0 * np.sqrt(1.0 + R[i, i] - R[j, j] - R[l, l])
+        q = np.empty(4)
+        q[i] = 0.25 * s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[l] = (R[l, i] + R[i, l]) / s
+        q[3] = (R[l, j] - R[j, l]) / s
+    if q[3] < 0:
+        q = -q
+    return q
+
+
 def world_to_camera(cam_position, cam_quaternion, xp=np):
     """w2c matrix with the reference's [F|R|U] -> [R|U|F] column swap
     (reference: dgr/__init__.py:349-368)."""

@@ -262,6 +262,10 @@ class TrainConfig(_Base):
     max_points: int = 16384  # static padded point budget per sample
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # host input pipeline (reference: 8 persistent workers,
+    # core/train.py:34-64); 0 = synchronous loading
+    n_workers: int = 8
+    prefetch_batches: int = 8
 
 
 @dataclass(frozen=True)

@@ -122,123 +122,143 @@ def dump_projections(projections, proj_dir: str) -> None:
 
 def get_centers_from_projections(dataset: str, projections
                                  ) -> Dict[int, np.ndarray]:
-    """Instance bounding centers (reference: dataset_generator.py:936-981)."""
-    import cv2
+    """Per-instance bounding centers {id: [cx, cy, w, h, max_z]}.
 
+    Buildings get the tight bounding box of their footprint pixels and
+    their masked height (+1); stuff classes (roads, water, sky, ...) span
+    the full map with the map-wide max height, merged across categories.
+    Each facade id is mirrored to its roof id (roof = facade + 1).
+
+    Behavior matches reference scripts/dataset_generator.py:936-981, but
+    computed with per-label scatter min/max reductions over the pixel grid
+    in one pass instead of a cv2-contour loop per instance.
+    """
     bldg_min, bldg_max = CONSTANTS[dataset]["BLDG_INST_RANGE"]
+    sky_id = CLASSES[dataset].get("SKY")
     centers: Dict[int, np.ndarray] = {}
-    for c, p in projections.items():
-        instances = np.unique(p["INS"])
-        if "SKY" in CLASSES[dataset]:
-            instances = np.append(instances, CLASSES[dataset]["SKY"])
-        for i in instances:
-            i = int(i)
-            if i >= bldg_min:
-                mask = p["INS"] == i
-                contours, _ = cv2.findContours(
-                    mask.astype(np.uint8), cv2.RETR_EXTERNAL,
-                    cv2.CHAIN_APPROX_SIMPLE)
-                if not contours:
-                    continue
-                pts = np.vstack(contours).reshape(-1, 2)
-                min_x, max_x = pts[:, 0].min(), pts[:, 0].max()
-                min_y, max_y = pts[:, 1].min(), pts[:, 1].max()
-                max_z = np.max(p["TD_HF"][mask]) + 1
-            else:
-                min_x, max_x = 0, p["TD_HF"].shape[1]
-                min_y, max_y = 0, p["TD_HF"].shape[0]
-                max_z = np.max(p["TD_HF"])
-                if i in centers:
-                    max_z = max(max_z, centers[i][-1])
+    for p in projections.values():
+        H, W = p["INS"].shape
+        ins_flat = p["INS"].ravel()
+        ids, label = np.unique(ins_flat, return_inverse=True)
+        n = len(ids)
+        # one scatter-reduce per bbox edge / height, all instances at once
+        cols = np.tile(np.arange(W), H)
+        rows = np.repeat(np.arange(H), W)
+        x_lo = np.full(n, W, np.int64)
+        x_hi = np.full(n, -1, np.int64)
+        y_lo = np.full(n, H, np.int64)
+        y_hi = np.full(n, -1, np.int64)
+        z_hi = np.full(n, np.iinfo(np.int64).min)
+        np.minimum.at(x_lo, label, cols)
+        np.maximum.at(x_hi, label, cols)
+        np.minimum.at(y_lo, label, rows)
+        np.maximum.at(y_hi, label, rows)
+        np.maximum.at(z_hi, label, p["TD_HF"].ravel().astype(np.int64))
+        map_z = float(p["TD_HF"].max())
+
+        stuff = {int(i) for i in ids if i < bldg_min}
+        if sky_id is not None:
+            stuff.add(sky_id)
+        for i in sorted(stuff):
+            z = map_z if i not in centers else max(map_z, centers[i][-1])
+            centers[i] = np.array([W / 2, H / 2, W, H, z], np.float32)
+        for k in np.flatnonzero(ids >= bldg_min):
+            i = int(ids[k])
             centers[i] = np.array(
-                [(min_x + max_x) / 2, (min_y + max_y) / 2,
-                 max_x - min_x, max_y - min_y, max_z], dtype=np.float32)
-            if bldg_min <= i < bldg_max:
+                [(x_lo[k] + x_hi[k]) / 2, (y_lo[k] + y_hi[k]) / 2,
+                 x_hi[k] - x_lo[k], y_hi[k] - y_lo[k], z_hi[k] + 1],
+                np.float32)
+            if i < bldg_max:
                 centers[i + 1] = centers[i]
     return centers
 
 
 def get_view_frustum_cords(cam_pos, cam_look_at, patch_size: int,
                            fov_rad: float) -> np.ndarray:
-    """2D view-frustum rectangle (reference: dataset_generator.py:1157-1195)."""
-    x1, y1 = float(cam_pos[0]), float(cam_pos[1])
-    x2, y2 = float(cam_look_at[0]), float(cam_look_at[1])
-    dist = math.hypot(x2 - x1, y2 - y1)
-    dx, dy = (x2 - x1) / dist, (y2 - y1) / dist
-    x3, y3 = x1 + dx * patch_size, y1 + dy * patch_size
-    kl1 = (y3 - y1) / (x3 - x1) if x3 != x1 else float("inf")
-    ke3 = -1 / kl1 if kl1 not in (0.0,) else float("inf")
-    be3 = y3 - ke3 * x3 if not math.isinf(ke3) else 0.0
-    kl2 = math.tan(math.atan(kl1) + fov_rad)
-    bl2 = y1 - kl2 * x1
-    kl4 = math.tan(math.atan(kl1) - fov_rad)
-    bl4 = y1 - kl4 * x1
-    if not math.isinf(ke3):
-        x4 = (bl2 - be3) / (ke3 - kl2)
-        y4 = kl2 * x4 + bl2
-        x5 = (bl4 - be3) / (ke3 - kl4)
-        y5 = kl4 * x5 + bl4
-    else:
-        x4, y4 = x3, kl2 * x3 + bl2
-        x5, y5 = x3, kl4 * x3 + bl4
-    x6, y6 = (x1 + x3) / 2, (y1 + y3) / 2
-    x7, y7 = 2 * x6 - x4, 2 * y6 - y4
-    x8, y8 = 2 * x6 - x5, 2 * y6 - y5
-    return np.array([(x1, y1), (x4, y4), (x5, y5), (x7, y7), (x8, y8)],
-                    dtype=np.int16)
+    """2D footprint of the view frustum as 5 int16 corner points.
+
+    A ray from the camera at angle ±fov off the look axis crosses the far
+    edge (the perpendicular at forward distance ``patch_size``) at lateral
+    offset ``patch_size * tan(fov)`` — so the footprint is the rectangle
+    spanned by the axis direction ``d`` and its left normal ``n``.
+
+    Rows: 0 the camera, 1-2 the far-edge endpoints (+n, -n), 3-4 their
+    mirror images through the rectangle center (= the near-edge endpoints).
+    Behavior matches reference scripts/dataset_generator.py:1157-1195,
+    re-derived with direction/normal vectors instead of slope-intercept
+    case analysis (no vertical/horizontal special cases needed).
+    """
+    p1 = np.asarray(cam_pos, np.float64)[:2]
+    d = np.asarray(cam_look_at, np.float64)[:2] - p1
+    d /= np.linalg.norm(d)
+    n = np.array([-d[1], d[0]])
+    far_mid = p1 + patch_size * d
+    half_w = patch_size * math.tan(fov_rad)
+    far_a = far_mid + half_w * n
+    far_b = far_mid - half_w * n
+    center2 = p1 + far_mid  # 2 * rectangle center
+    return np.array([p1, far_a, far_b, center2 - far_a, center2 - far_b]
+                    ).astype(np.int16)
 
 
 def get_local_projections(projections, local_cords, map_size: int):
-    """Crop/resize the per-view conditioning maps
-    (reference: dataset_generator.py:1198-1248)."""
+    """Per-view conditioning maps: crop a ``map_size``-square window around
+    the view frustum and resize to ``map_size``.
+
+    The window is centered on the integer mean of the camera point and the
+    two far-edge corners.  Where it hangs off the low map edge the crop is
+    zero-padded; off the high edge it is clipped (and therefore stretched
+    by the resize) — matching reference scripts/dataset_generator.py
+    :1198-1248.  Deviation: the reference mutates its window bounds while
+    padding the first map of its loop, so SEG and TD_HF disagree when the
+    window crosses the low edge; here one window is applied to all maps.
+    ``tlp`` is the window's top-left corner clamped into the map.
+    """
     import cv2
 
-    MAPS = [
-        {"name": "SEG", "dtype": np.uint8, "interp": cv2.INTER_NEAREST},
-        {"name": "TD_HF", "dtype": np.float32, "interp": cv2.INTER_AREA},
-    ]
-    local = {m["name"]: projections[m["name"]].copy() for m in MAPS}
-    if local_cords is not None:
-        pts = np.array([local_cords[1], local_cords[2], local_cords[0]])
-        cx, cy = np.mean(pts, axis=0).astype(np.int32)
-        x_min, x_max = cx - map_size // 2, cx + map_size // 2
-        y_min, y_max = cy - map_size // 2, cy + map_size // 2
-        for m in MAPS:
-            name = m["name"]
-            if x_min < 0:
-                local[name] = np.pad(local[name], ((0, 0), (-x_min, 0)))
-                x_max -= x_min
-                x_min = 0
-            if y_min < 0:
-                local[name] = np.pad(local[name], ((-y_min, 0), (0, 0)))
-                y_max -= y_min
-                y_min = 0
-            local[name] = local[name][y_min:y_max, x_min:x_max].astype(
-                m["dtype"])
-        local["tlp"] = np.array([x_min, y_min])
-    for m in MAPS:
-        local[m["name"]] = cv2.resize(
-            local[m["name"]].astype(m["dtype"]), (map_size, map_size),
-            interpolation=m["interp"])
+    specs = (("SEG", np.uint8, cv2.INTER_NEAREST),
+             ("TD_HF", np.float32, cv2.INTER_AREA))
+    local = {}
+    for name, dtype, interp in specs:
+        full = projections[name]
+        if local_cords is None:
+            win = full.astype(dtype)
+        else:
+            anchor = np.asarray([local_cords[0], local_cords[1],
+                                 local_cords[2]], np.float64)
+            cx, cy = np.mean(anchor, axis=0).astype(np.int32)
+            x0, y0 = int(cx) - map_size // 2, int(cy) - map_size // 2
+            xs, ys = max(0, x0), max(0, y0)
+            win = full[ys: y0 + map_size, xs: x0 + map_size]
+            win = np.pad(win, ((ys - y0, 0), (xs - x0, 0))).astype(dtype)
+            local["tlp"] = np.array([xs, ys])
+        local[name] = cv2.resize(win, (map_size, map_size),
+                                 interpolation=interp)
     return local
 
 
 def get_sky_points(far_plane, cam_z, cam_fov_y, patch_size, scale, class_id):
-    """(reference: dataset_generator.py:1334-1351)"""
-    points = []
-    sky_height = patch_size * math.tan(cam_fov_y)
-    z_min = math.floor(max(0, cam_z - sky_height))
-    z_max = math.ceil(cam_z + sky_height)
-    far_plane = np.asarray(far_plane, dtype=np.float64)
-    dist = np.linalg.norm(far_plane[0] - far_plane[1])
-    n_segs = math.ceil(dist / scale)
-    slope = (far_plane[1] - far_plane[0]) / dist
-    for i in range(n_segs):
-        x = far_plane[0, 0] + i * scale * slope[0]
-        y = far_plane[0, 1] + i * scale * slope[1]
-        for z in range(z_min, z_max + 1, scale):
-            points.append([x, y, z, scale, class_id])
-    return np.array(points, dtype=np.int16).reshape(-1, 5)
+    """Sky wall: a lattice of SKY-class points along the far-plane edge,
+    spanning the vertical band the camera FoV can see.
+
+    One broadcasted (edge-samples x altitudes) grid replaces the
+    reference's nested python loops (scripts/dataset_generator.py
+    :1334-1351); values and dtype (int16, truncated) are identical.
+    """
+    a, b = np.asarray(far_plane, np.float64)[:2]
+    edge_len = float(np.linalg.norm(b - a))
+    steps = np.arange(math.ceil(edge_len / scale), dtype=np.float64)
+    xy = a + steps[:, None] * (scale / edge_len) * (b - a)  # [S, 2]
+    band = patch_size * math.tan(cam_fov_y)
+    zs = np.arange(math.floor(max(0, cam_z - band)),
+                   math.ceil(cam_z + band) + 1, scale)  # [Z]
+    S, Z = len(steps), len(zs)
+    out = np.empty((S, Z, 5), np.float64)
+    out[..., 0:2] = xy[:, None, :]
+    out[..., 2] = zs[None, :]
+    out[..., 3] = scale
+    out[..., 4] = class_id
+    return out.reshape(-1, 5).astype(np.int16)
 
 
 def get_points_from_projections(dataset: str, projections,

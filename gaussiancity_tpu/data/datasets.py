@@ -279,19 +279,31 @@ def get_dataset(cfg: Config, name: str, split: str) -> Dataset:
 
 
 class DataLoader:
-    """Multi-epoch host loader with per-host sharding — replaces torch
-    DataLoader + DistributedSampler (reference: core/train.py:34-64)."""
+    """Multi-epoch host loader with per-host sharding and thread-pool
+    prefetch — replaces torch DataLoader(num_workers=8, persistent) +
+    DistributedSampler (reference: core/train.py:34-64).
+
+    ``num_workers`` threads decode samples ahead of the training step
+    (per-sample pickle loads + rejection crops overlap the device step);
+    ``prefetch`` bounds the in-flight batch queue.  Batches are yielded in
+    deterministic order regardless of worker completion order.  The final
+    ragged remainder (< batch_size samples) is dropped, like the
+    reference's drop_last sampler.
+    """
 
     def __init__(self, dataset: Dataset, batch_size: int = 1,
                  shuffle: bool = True, seed: int = 0,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 num_workers: int = 8, prefetch: int = 8):
         import jax
 
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
         self.pi = (process_index if process_index is not None
                    else jax.process_index())
         self.pc = (process_count if process_count is not None
@@ -301,7 +313,7 @@ class DataLoader:
         per_host = len(self.dataset) // self.pc
         return per_host // self.batch_size
 
-    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _batch_starts(self, epoch_idx: int):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -309,9 +321,35 @@ class DataLoader:
             # (the reference's DistributedSampler.set_epoch)
             np.random.default_rng(self.seed + epoch_idx).shuffle(order)
         local = order[self.pi:: self.pc]
-        for i in range(0, len(local) - self.batch_size + 1, self.batch_size):
-            items = [self.dataset[int(j)]
-                     for j in local[i: i + self.batch_size]]
-            yield {
-                k: np.stack([it[k] for it in items]) for k in items[0]
-            }
+        return local, range(0, len(local) - self.batch_size + 1,
+                            self.batch_size)
+
+    def _load_batch(self, local, start: int) -> Dict[str, np.ndarray]:
+        items = [self.dataset[int(j)]
+                 for j in local[start: start + self.batch_size]]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        local, starts = self._batch_starts(epoch_idx)
+        if self.num_workers <= 0:
+            for i in starts:
+                yield self._load_batch(local, i)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = deque()
+            it = iter(starts)
+            for i in it:
+                pending.append(pool.submit(self._load_batch, local, i))
+                if len(pending) >= self.prefetch:
+                    break
+            while pending:
+                batch = pending.popleft().result()
+                # refill before yielding so workers stay busy while the
+                # consumer runs the device step
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._load_batch, local, nxt))
+                yield batch

@@ -43,17 +43,20 @@ from gaussiancity_tpu.utils import helpers
 
 
 def get_quat_from_look_at(cam_pos: np.ndarray, look_at: np.ndarray):
-    """(reference: scripts/dataset_generator.py:1071-1085)"""
-    import scipy.spatial.transform as sst
+    """Roll-free (z-up) orientation whose forward axis points from
+    ``cam_pos`` at ``look_at``, as an (x, y, z, w) quaternion.
 
-    fwd = np.asarray(look_at, np.float64) - np.asarray(cam_pos, np.float64)
-    fwd /= np.linalg.norm(fwd)
-    up = np.array([0.0, 0.0, 1.0])
-    right = np.cross(up, fwd)
-    right /= np.linalg.norm(right)
-    up = np.cross(fwd, right)
-    R = np.stack([fwd, right, up], axis=1)
-    return sst.Rotation.from_matrix(R).as_quat()
+    The rotation columns follow this repo's camera convention [F|R|U]
+    (camera.py world_to_camera applies the [F|R|U]->[R|U|F] swap).
+    Behavior matches reference scripts/dataset_generator.py:1071-1085.
+    """
+    from gaussiancity_tpu.camera import matrix_to_quat_xyzw
+
+    f = np.subtract(look_at, cam_pos).astype(np.float64)
+    f /= np.linalg.norm(f)
+    r = np.cross([0.0, 0.0, 1.0], f)
+    r /= np.linalg.norm(r)
+    return matrix_to_quat_xyzw(np.column_stack([f, r, np.cross(f, r)]))
 
 
 def get_orbit_camera_poses(proj_size: int, n_points: int = 24,

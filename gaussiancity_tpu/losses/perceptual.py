@@ -120,9 +120,11 @@ class PerceptualLoss:
 
 
 def _downsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear 0.5x (reference uses F.interpolate bilinear)."""
-    B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H // 2, W // 2, C), method="bilinear")
+    """Exact torch ``F.interpolate(scale_factor=0.5, bilinear,
+    align_corners=False)``: at a half-pixel grid every output sample sits
+    exactly between four inputs, so the op reduces to a 2x2 average pool
+    (jax.image.resize would apply an antialias kernel instead)."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
 def load_vgg19_npz(path: str, params):

@@ -32,11 +32,15 @@ class SNConv(nn.Module):
     @nn.compact
     def __call__(self, x, update_sn: bool = True):
         fan_in = x.shape[-1] * self.kernel * self.kernel
+        # Explicit symmetric padding: torch's Conv2d(padding=1) pads (1, 1)
+        # on both sides even at stride 2, where XLA "SAME" would pad (0, 1)
+        # on even inputs — same output size, shifted taps (weight-parity
+        # breaker, caught by tests/test_reference_parity.py).
         conv = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME" if self.kernel > 1 else "VALID",
+            padding=((1, 1), (1, 1)) if self.kernel > 1 else "VALID",
             use_bias=True,
             kernel_init=torch_kaiming_uniform,
             bias_init=torch_bias_uniform(fan_in),

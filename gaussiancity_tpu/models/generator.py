@@ -92,27 +92,74 @@ class TorchDense(nn.Module):
 
 
 class TorchConv(nn.Module):
-    """NHWC conv with torch default init."""
+    """NHWC conv with torch default init and torch padding semantics.
+
+    Default padding is the symmetric ``k // 2`` per side that every
+    reference conv uses (``padding=k//2`` in torch).  This must stay
+    explicit: XLA "SAME" pads (0, 1) for stride-2 even inputs where torch
+    pads (1, 1) — same output size, shifted taps (weight-parity breaker).
+    """
 
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
-    padding: Any = "SAME"
+    padding: Any = None  # None => torch-style ((k//2, k//2), ...)
     use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
-        fan_in = x.shape[-1] * self.kernel_size[0] * self.kernel_size[1]
+        kh, kw = self.kernel_size
+        padding = self.padding
+        if padding is None:
+            padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        fan_in = x.shape[-1] * kh * kw
         conv = nn.Conv(
             self.features,
             self.kernel_size,
             strides=self.strides,
-            padding=self.padding,
+            padding=padding,
             use_bias=self.use_bias,
             kernel_init=torch_kaiming_uniform,
             bias_init=torch_bias_uniform(fan_in),
         )
         return conv(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d(k, s, p) with exact torch semantics: dilate the
+    input by the stride, pad ``k - 1 - p`` per side, correlate with the
+    spatially-flipped kernel.  Kernel layout (kh, kw, in, out); torch init
+    (ConvTranspose2d fan_in = out_channels * kh * kw)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        fan_in = self.features * kh * kw
+        bound = math.sqrt(3.0 / fan_in)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            x, kernel[::-1, ::-1],
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            lhs_dilation=self.strides,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_uniform(fan_in),
+                              (self.features,))
+            y = y + bias
+        return y
 
 
 def leaky_relu(x, slope=0.2):
@@ -173,16 +220,17 @@ class ResConvBlock(nn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         cout = self.out_channels
+        gn = lambda: nn.GroupNorm(num_groups=32, epsilon=1e-5)  # torch eps
         residual = x
-        out1 = nn.relu(nn.GroupNorm(num_groups=32)(x))
+        out1 = nn.relu(gn()(x))
         out1 = TorchConv(cout // 2, (3, 3), use_bias=False)(out1)
-        out2 = nn.relu(nn.GroupNorm(num_groups=32)(out1))
+        out2 = nn.relu(gn()(out1))
         out2 = TorchConv(cout // 4, (3, 3), use_bias=False)(out2)
-        out3 = nn.relu(nn.GroupNorm(num_groups=32)(out2))
+        out3 = nn.relu(gn()(out2))
         out3 = TorchConv(cout // 4, (3, 3), use_bias=False)(out3)
         out3 = jnp.concatenate([out1, out2, out3], axis=-1)
         if cin != cout:
-            residual = nn.relu(nn.GroupNorm(num_groups=32)(residual))
+            residual = nn.relu(gn()(residual))
             residual = TorchConv(cout, (1, 1), use_bias=False)(residual)
         return out3 + residual
 
@@ -197,16 +245,14 @@ class LocalEncoder(nn.Module):
     def __call__(self, proj_hf, proj_seg):
         hf = TorchConv(32, (7, 7), (2, 2))(proj_hf)
         seg = TorchConv(32, (7, 7), (2, 2))(proj_seg)
-        out = nn.relu(nn.GroupNorm(num_groups=32)(
+        out = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5)(
             jnp.concatenate([hf, seg], axis=-1)))
         out = ResConvBlock(128)(out)
         out = nn.avg_pool(out, (2, 2), strides=(2, 2))
         out = ResConvBlock(256)(out)
         out = ResConvBlock(512)(out)
-        out = nn.ConvTranspose(128, (4, 4), strides=(2, 2), padding="SAME",
-                               kernel_init=torch_kaiming_uniform)(out)
-        out = nn.ConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
-                               kernel_init=torch_kaiming_uniform)(out)
+        out = TorchConvTranspose(128, (4, 4), (2, 2), (1, 1))(out)
+        out = TorchConvTranspose(32, (4, 4), (2, 2), (1, 1))(out)
         out = TorchConv(self.out_channels, (1, 1))(out)
         return jnp.tanh(out)
 

@@ -343,6 +343,12 @@ class SerializedPooling(nn.Module):
         new_grid = (grid_coord[head_orig] >> pdepth)
 
         n_kept = jnp.minimum(n_clusters, cap)
+        # Overflow diagnostic: clusters beyond the static capacity collapse
+        # into the last slot (silent feature corruption) — surface the count
+        # so callers can alert instead of training on corrupted pools.
+        self.sow("intermediates", "pool_overflow",
+                 jnp.maximum(n_clusters - cap, 0),
+                 reduce_fn=lambda a, b: a + b, init_fn=lambda: jnp.int32(0))
         new_valid = jnp.arange(cap, dtype=jnp.int32) < n_kept
         # next level's codes = this level's codes at cluster heads, shifted
         # (reference: models/pt_v3.py:1005-1016)
@@ -513,7 +519,8 @@ class PointTransformerV3(nn.Module):
             PTv3Single,
             in_axes=(0, 0, 0, None),
             out_axes=0,
-            variable_axes={"params": None, "batch_stats": None},
+            variable_axes={"params": None, "batch_stats": None,
+                           "intermediates": 0},
             split_rngs={"params": False, "droppath": True},
         )(cfg=self.cfg, in_channels=self.in_channels,
           grid_size=self.grid_size, serial_depth=self.serial_depth,

@@ -40,14 +40,20 @@ def _band_rasterize(
         means3d, opacities, scales, quats, colors, valid, cam,
         near_z=cfg.near_z)
 
-    # Compact screen-space state -> all_gather over the mesh axis.
+    # Compact screen-space state -> ONE all_gather over the mesh axis.
+    # attrs16 rows 0-8 are the blend attributes (mx, my already rows 0-1);
+    # the spare rows 9-11 carry depth / radius / valid so the whole
+    # per-Gaussian state rides a single collective (16 f32/Gaussian).
     attrs16 = prep.attrs16()
-    g_attrs = jax.lax.all_gather(attrs16, axis, tiled=True)  # [N, 16]
-    g_mx = jax.lax.all_gather(prep.mx, axis, tiled=True)
-    g_my = jax.lax.all_gather(prep.my, axis, tiled=True)
-    g_depth = jax.lax.all_gather(prep.depth, axis, tiled=True)
-    g_radius = jax.lax.all_gather(prep.radius, axis, tiled=True)
-    g_valid = jax.lax.all_gather(prep.valid, axis, tiled=True)
+    packed = attrs16.at[:, 9].set(prep.depth)
+    packed = packed.at[:, 10].set(prep.radius.astype(attrs16.dtype))
+    packed = packed.at[:, 11].set(prep.valid.astype(attrs16.dtype))
+    g_attrs = jax.lax.all_gather(packed, axis, tiled=True)  # [N, 16]
+    g_mx = g_attrs[:, 0]
+    g_my = g_attrs[:, 1]
+    g_depth = g_attrs[:, 9]
+    g_radius = g_attrs[:, 10].astype(jnp.int32)
+    g_valid = g_attrs[:, 11] > 0.5
 
     H, W = cam.img_h, cam.img_w
     assert H % (cfg.tile_h * n_dev) == 0, (
@@ -79,8 +85,10 @@ def _band_rasterize(
         unroll=cfg.chunk, backend=backend, n_tx=n_tx)
 
     idx = bins.gauss_index
-    # band-local attribute rows: patch the shifted my into the packed attrs
+    # band-local attribute rows: patch the shifted my into the packed
+    # attrs and clear the transport-only rows 9-11
     attrs_band = g_attrs.at[:, 1].set(my_local)
+    attrs_band = attrs_band.at[:, 9:12].set(0.0)
     if backend == "pallas":
         from gaussiancity_tpu.ops.rasterizer import blend_pallas
 

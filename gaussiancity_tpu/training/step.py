@@ -109,7 +109,11 @@ class Trainer:
         )
         self.flip_lr = True
         self.flip_ud = ds.flip_ud
-        self.crop_size = ds.train_crop_size  # (W, H)
+        # Train and eval batches are cropped to different sizes
+        # (reference: utils/datasets.py:146-253 — RandomCrop train size vs
+        # center-crop test size), so the render crop must match the split.
+        self.train_crop_size = ds.train_crop_size  # (W, H)
+        self.test_crop_size = ds.test_crop_size  # (W, H)
 
         b1, b2 = cfg.train.betas
         self.g_tx = optax.adam(cfg.train.generator.lr, b1=b1, b2=b2,
@@ -185,14 +189,24 @@ class Trainer:
             pts_mask=batch.get("pts_mask"),
         )
 
-    def _render_fake(self, g_params, batch, feats):
+    def _render_fake(self, g_params, batch, feats, crop_size=None):
         """Generator fwd -> pack -> rasterize -> flips -> crop.
-        Returns [B, Hc, Wc, 3] (NHWC)."""
-        attrs = self.generator.apply(
+        Returns ([B, Hc, Wc, 3] NHWC, overflow diagnostics dict).
+
+        ``crop_size`` is the static (W, H) of the batch's image crop; it
+        defaults to the train crop, eval passes the test crop."""
+        attrs, g_vars = self.generator.apply(
             {"params": g_params}, feats["proj_uv"], feats["rel_xyz"], None,
             feats["onehots"], feats["z"], batch.get("proj_hf"),
             batch.get("proj_seg"), feats["pts_mask"],
+            mutable=["intermediates"],
         )
+        # PTv3 pooled-capacity overflow counters (models/ptv3.py sow);
+        # empty tree when PTv3 is off.
+        over_leaves = jax.tree_util.tree_leaves(
+            g_vars.get("intermediates", {}))
+        pool_overflow = (sum(jnp.sum(l) for l in over_leaves)
+                         if over_leaves else jnp.zeros((), jnp.int32))
         gs_pts = helpers.get_gaussian_points(
             feats["abs_xyz"], feats["scales3"], attrs)
         B = gs_pts.shape[0]
@@ -210,11 +224,19 @@ class Trainer:
         if self.flip_ud:
             img = img[:, ::-1, :]
         img = img.transpose(1, 2, 0)  # HWC
-        Wc, Hc = self.crop_size
+        Wc, Hc = crop_size if crop_size is not None else self.train_crop_size
         xy = batch["crp_xy"][0]
         img = jax.lax.dynamic_slice(
             img, (xy[1], xy[0], 0), (Hc, Wc, 3))
-        return img[None]
+        # Binning-overflow diagnostics: nonzero means the render silently
+        # truncated Gaussian/tile pairs (tile_capacity or
+        # max_tiles_per_gaussian exceeded) — must be surfaced, never dropped.
+        diag = {  # float32 so pmean over the data axis is well-defined
+            "RasterDroppedPairs": out.n_dropped_pairs.astype(jnp.float32),
+            "RasterTruncated": out.n_truncated.astype(jnp.float32),
+            "PTv3PoolOverflow": pool_overflow.astype(jnp.float32),
+        }
+        return img[None], diag
 
     # ------------------------------------------------------------------
     # Train step
@@ -237,8 +259,10 @@ class Trainer:
 
         # ---------------- D step ----------------
         if self.use_disc:
-            fake_imgs = jax.lax.stop_gradient(
-                self._render_fake(state.g_params, batch, feats))
+            fake_imgs, raster_diag = self._render_fake(
+                state.g_params, batch, feats)
+            fake_imgs = jax.lax.stop_gradient(fake_imgs)
+            metrics.update(raster_diag)
 
             def d_loss_fn(d_params, d_stats):
                 vars_in = {"params": d_params, "batch_stats": d_stats}
@@ -272,7 +296,7 @@ class Trainer:
 
         # ---------------- G step ----------------
         def g_loss_fn(g_params, d_stats):
-            fake = self._render_fake(g_params, batch, feats)
+            fake, diag = self._render_fake(g_params, batch, feats)
             if self.use_disc:
                 out, vs = self.discriminator.apply(
                     {"params": state.d_params, "batch_stats": d_stats},
@@ -289,10 +313,13 @@ class Trainer:
             loss = (_l1 * cfg.l1_loss_factor
                     + _pl * cfg.perceptual_loss_factor
                     + _gan * cfg.gan_loss_factor)
-            return loss, (_l1, _pl, _gan, d_stats)
+            return loss, (_l1, _pl, _gan, d_stats, diag)
 
-        (loss_g, (_l1, _pl, _gan, d_stats)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params, state.d_stats)
+        (loss_g, (_l1, _pl, _gan, d_stats, raster_diag)), g_grads = \
+            jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params, state.d_stats)
+        if not self.use_disc:
+            metrics.update(raster_diag)
         g_grads = psum_grads(g_grads)
         g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
                                             state.g_params)
@@ -311,9 +338,10 @@ class Trainer:
 
     def eval_step(self, state: TrainState, batch, rng):
         feats = self._point_features(batch, rng)
-        fake = self._render_fake(state.g_params, batch, feats)
+        fake, diag = self._render_fake(state.g_params, batch, feats,
+                                       crop_size=self.test_crop_size)
         l1 = masked_l1(fake, batch["rgb"], batch["msk"])
-        return {"L1Loss": l1}, fake
+        return {"L1Loss": l1, **diag}, fake
 
 
 def make_train_step(trainer: Trainer):

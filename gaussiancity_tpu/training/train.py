@@ -35,7 +35,8 @@ LOSS_NAMES = ["L1Loss", "PerceptualLoss", "GANLoss", "GANLossFake",
 
 def train(cfg: Config, dataset_name: Optional[str] = None,
           resume_from: Optional[str] = None,
-          max_steps: Optional[int] = None) -> None:
+          max_steps: Optional[int] = None,
+          run_id: Optional[str] = None) -> None:
     dataset_name = dataset_name or cfg.dataset.name
     train_ds = get_dataset(cfg, dataset_name, "train")
     val_ds = get_dataset(cfg, dataset_name, "val")
@@ -46,9 +47,13 @@ def train(cfg: Config, dataset_name: Optional[str] = None,
     train_loader = DataLoader(
         train_ds,
         batch_size=cfg.train.batch_size * (n_local if parallel else 1),
-        shuffle=True, seed=cfg.train.seed)
+        shuffle=True, seed=cfg.train.seed,
+        num_workers=cfg.train.n_workers,
+        prefetch=cfg.train.prefetch_batches)
     val_loader = DataLoader(val_ds, batch_size=cfg.train.batch_size,
-                            shuffle=False)
+                            shuffle=False,
+                            num_workers=cfg.train.n_workers,
+                            prefetch=cfg.train.prefetch_batches)
 
     trainer = Trainer(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -79,7 +84,9 @@ def train(cfg: Config, dataset_name: Optional[str] = None,
 
     writer = None
     if dist.is_master():
-        writer = SummaryWriter(cfg.output_dir, cfg.exp_name)
+        # run_id resumes an existing W&B run (reference: run.py:108-111)
+        writer = SummaryWriter(cfg.output_dir, cfg.exp_name,
+                               wandb_run_id=run_id)
         writer.add_config(cfg.to_dict())
 
     ckpt_dir = f"{cfg.output_dir}/ckpt/{cfg.exp_name or 'default'}"
@@ -98,12 +105,35 @@ def train(cfg: Config, dataset_name: Optional[str] = None,
             state, metrics = run_step(state, batch, key)
             metrics = {k: float(v) for k, v in metrics.items()}
             meters.update([metrics[k] for k in LOSS_NAMES])
+            n_over = (metrics.get("RasterDroppedPairs", 0.0)
+                      + metrics.get("RasterTruncated", 0.0))
+            if n_over > 0:
+                logging.warning(
+                    "[Epoch %d][Batch %d] rasterizer binning overflow: "
+                    "%d dropped pairs, %d truncated tiles — raise "
+                    "rasterizer.tile_capacity / max_tiles_per_gaussian",
+                    epoch_idx, batch_idx + 1,
+                    int(metrics.get("RasterDroppedPairs", 0.0)),
+                    int(metrics.get("RasterTruncated", 0.0)))
+            if metrics.get("PTv3PoolOverflow", 0.0) > 0:
+                logging.warning(
+                    "[Epoch %d][Batch %d] PTv3 pooled-capacity overflow: "
+                    "%d clusters clamped — raise network.pt_v3."
+                    "pool_capacity_divisor headroom",
+                    epoch_idx, batch_idx + 1,
+                    int(metrics["PTv3PoolOverflow"]))
             batch_time.update(time.time() - t_end)
             t_end = time.time()
             global_step += 1
             if writer is not None:
                 writer.add_scalars(
                     {f"Loss/Batch/{k}": metrics[k] for k in LOSS_NAMES},
+                    global_step)
+                writer.add_scalars(
+                    {f"Raster/Batch/{k}": metrics[k]
+                     for k in ("RasterDroppedPairs", "RasterTruncated",
+                               "PTv3PoolOverflow")
+                     if k in metrics},
                     global_step)
             if batch_idx % 10 == 0:
                 logging.info(

@@ -121,8 +121,10 @@ def repeat_pts(pts: jnp.ndarray, repeat: int = 1) -> jnp.ndarray:
     (reference: utils/helpers.py:175-180). pts: [B, N, C]."""
     b, n, _ = pts.shape
     pts_r = jnp.tile(pts, (1, repeat, 1))
+    # the index channel cycles 0, 1/r, ... along the tiled point axis
+    # (the reference tiles its [repeat] pattern n times, not per block)
     idx = (jnp.arange(repeat, dtype=pts.dtype) / repeat)
-    idx = jnp.repeat(idx, n)[None, :, None]
+    idx = jnp.tile(idx, n)[None, :, None]
     idx = jnp.broadcast_to(idx, (b, n * repeat, 1))
     return jnp.concatenate([pts_r, idx], axis=-1)
 

@@ -33,6 +33,32 @@ def get_args():
     p.add_argument("-p", "--ckpt", dest="ckpt", default=None,
                    help="checkpoint dir to load/resume")
     p.add_argument("--test", dest="test", action="store_true")
+    p.add_argument("--inference", action="store_true",
+                   help="render a city video from trained checkpoints "
+                        "(reference: scripts/inference.py:672-707)")
+    p.add_argument("--ckpt-rest", default=None,
+                   help="REST (background) generator checkpoint dir")
+    p.add_argument("--ckpt-bldg", default=None,
+                   help="BLDG generator checkpoint dir")
+    p.add_argument("--ckpt-car", default=None,
+                   help="CAR generator checkpoint dir (KITTI-360)")
+    p.add_argument("--city-dir", default=None,
+                   help="city dir with Projection/ (+ CENTERS.pkl)")
+    p.add_argument("--data-root", default=None,
+                   help="dataset root; a random city is picked when "
+                        "--city-dir is not given")
+    p.add_argument("--output", default="output/video.mp4",
+                   help="output video path (--inference)")
+    p.add_argument("--frames", type=int, default=24,
+                   help="number of orbit frames (--inference)")
+    p.add_argument("--radius", type=int, default=None)
+    p.add_argument("--altitude", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-points", type=int, default=262144,
+                   help="per-frame visible point budget (--inference)")
+    p.add_argument("--run-id", dest="run_id", default=None,
+                   help="W&B run id to resume logging into "
+                        "(reference: run.py:108-111)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--coordinator", default=None,
                    help="multi-host coordinator address")
@@ -71,6 +97,9 @@ def main():
                     else cfg_mod.google_earth_dataset())
             cfg = cfg.replace(dataset=base)
 
+    if args.inference:
+        return run_inference(args)
+
     if args.test:
         assert args.ckpt, "--test requires -p/--ckpt"
         import jax
@@ -94,7 +123,62 @@ def main():
         from gaussiancity_tpu.training.train import train
 
         train(cfg, dataset_name=cfg.dataset.name, resume_from=args.ckpt,
-              max_steps=args.max_steps)
+              max_steps=args.max_steps, run_id=args.run_id)
+    return 0
+
+
+def run_inference(args) -> int:
+    """Checkpoint dir(s) + city dir -> rendered orbit video
+    (reference: scripts/inference.py:614-707)."""
+    import os
+
+    import numpy as np
+
+    from gaussiancity_tpu.inference.loader import (
+        get_city_projections, get_models, get_random_city,
+    )
+    from gaussiancity_tpu.inference.pipeline import (
+        InferencePipeline, get_orbit_camera_poses, get_style_lut,
+    )
+
+    ckpt_dirs = {}
+    if args.ckpt_rest:
+        ckpt_dirs["REST"] = args.ckpt_rest
+    if args.ckpt_bldg:
+        ckpt_dirs["BLDG"] = args.ckpt_bldg
+    if args.ckpt_car:
+        ckpt_dirs["CAR"] = args.ckpt_car
+    if not ckpt_dirs and args.ckpt:
+        ckpt_dirs["REST"] = args.ckpt
+    assert ckpt_dirs, ("--inference requires at least one of --ckpt-rest / "
+                       "--ckpt-bldg / --ckpt-car (or -p)")
+
+    cfg, models, z_banks = get_models(ckpt_dirs)
+    rng = np.random.default_rng(args.seed)
+
+    city_dir = args.city_dir or get_random_city(args.data_root, rng)
+    logging.info("rendering city: %s", city_dir)
+    projections, centers = get_city_projections(city_dir)
+
+    pipeline = InferencePipeline(cfg, models, max_points=args.max_points)
+    poses = get_orbit_camera_poses(
+        cfg.dataset.proj_size, n_points=args.frames,
+        radius=args.radius, altitude=args.altitude, rng=rng)
+
+    z_dim = cfg.network.z_dim
+    for name in ("BLDG", "CAR"):
+        if name in models and models[name][0].cfg.z_dim:
+            z_dim = models[name][0].cfg.z_dim
+    style_lut = get_style_lut(
+        centers, z_dim or 1,
+        z_bank=z_banks.get("BLDG") or z_banks.get("CAR"),
+        seed=args.seed)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+    frames = pipeline.render_trajectory(
+        projections, centers, poses, style_lut=style_lut,
+        video_path=args.output)
+    logging.info("wrote %d frames to %s", len(frames), args.output)
     return 0
 
 

@@ -104,3 +104,47 @@ class TestInference:
         assert lut.shape[1] == 8
         np.testing.assert_allclose(lut[5], 1.0)
         assert lut.min() >= 0 and lut.max() < 1.0 + 1e-6
+
+
+class TestInferenceFromCheckpoint:
+    def test_ckpt_to_video(self, tmp_path):
+        """End-to-end: smoke-train -> checkpoint -> get_models ->
+        InferencePipeline -> frames (reference: scripts/inference.py
+        :57-108, 614-707 — the ckpt-to-video glue)."""
+        from tests.test_pipeline import smoke_cfg
+
+        from gaussiancity_tpu.inference.loader import (
+            get_city_projections, get_models, get_random_city,
+        )
+        from gaussiancity_tpu.training.train import train
+
+        cfg = smoke_cfg().replace(output_dir=str(tmp_path))
+        train(cfg, dataset_name="SYNTHETIC", max_steps=1)
+        ckpt_dir = f"{cfg.output_dir}/ckpt/smoke"
+
+        cfg2, models, z_banks = get_models({"REST": ckpt_dir})
+        assert cfg2.exp_name == "smoke"
+        assert "REST" in models
+        gen, params = models["REST"]
+        assert gen.cfg.encoder == "GLOBAL"
+
+        # synthetic city dir for get_city_projections / get_random_city
+        from gaussiancity_tpu.data import dataset_generator as dg
+
+        root = tmp_path / "cities"
+        city = root / "City01"
+        city.mkdir(parents=True)
+        projections = synthetic_projections(64)
+        dg.dump_projections(projections,
+                            str(city / "Projection"))
+        picked = get_random_city(str(root))
+        assert picked.endswith("City01")
+        proj2, centers = get_city_projections(picked)
+        assert "REST" in proj2 and 100 in centers
+
+        pipe = InferencePipeline(cfg2, models, max_points=2048,
+                                 vol_shape=(72, 72, 24))
+        poses = get_orbit_camera_poses(64, n_points=1, radius=30,
+                                       altitude=30)
+        frames = pipe.render_trajectory(proj2, centers, poses)
+        assert len(frames) == 1 and frames[0].std() > 0

@@ -127,3 +127,27 @@ class TestEndToEndTraining:
         restored, cfg2, epoch = ckpt_mod.restore_checkpoint(ckpt_dir, state)
         assert int(restored.step) >= 1
         assert cfg2.exp_name == "smoke"
+
+
+class TestPrefetchLoader:
+    def test_prefetch_matches_synchronous_order(self):
+        cfg = smoke_cfg()
+        ds = SyntheticDataset(cfg, "val", n_items=6)  # val: deterministic rng
+        sync = DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                          num_workers=0, process_index=0, process_count=1)
+        pre = DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                         num_workers=4, prefetch=3,
+                         process_index=0, process_count=1)
+        b_sync = list(sync.epoch(1))
+        b_pre = list(pre.epoch(1))
+        assert len(b_sync) == len(b_pre) == 3
+        for a, b in zip(b_sync, b_pre):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_remainder_dropped(self):
+        cfg = smoke_cfg()
+        ds = SyntheticDataset(cfg, "val", n_items=7)
+        loader = DataLoader(ds, batch_size=2, num_workers=2,
+                            process_index=0, process_count=1)
+        assert len(list(loader.epoch(0))) == 3  # 7 // 2, ragged tail dropped

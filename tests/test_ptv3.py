@@ -96,16 +96,16 @@ def tiny_ptv3_cfg():
         enc_depths=(1, 1, 1),
         enc_channels=(8, 16, 32),
         enc_n_head=(1, 2, 4),
-        enc_patch_size=(64, 64, 64),
+        enc_patch_size=(32, 32, 32),
         dec_depths=(1, 1),
         dec_channels=(8, 16),
         dec_n_head=(1, 2),
-        dec_patch_size=(64, 64),
+        dec_patch_size=(32, 32),
         mlp_ratio=2.0,
     )
 
 
-def make_points(key, N=256, n_valid=200):
+def make_points(key, N=96, n_valid=80):
     coord = jax.random.uniform(key, (N, 3), minval=-1, maxval=1)
     feat = jax.random.normal(jax.random.fold_in(key, 1), (N, 12))
     valid = jnp.arange(N) < n_valid
@@ -119,33 +119,33 @@ class TestPTv3:
         model = PTv3Single(cfg=cfg, in_channels=12)
         params = model.init(jax.random.PRNGKey(1), feat, coord, valid)
         out = model.apply(params, feat, coord, valid)
-        assert out.shape == (256, cfg.dec_channels[0])
+        assert out.shape == (96, cfg.dec_channels[0])
         assert np.all(np.isfinite(np.asarray(out)))
 
     def test_padding_invariance(self):
         # changing padded points' features/coords must not change valid outputs
         cfg = tiny_ptv3_cfg()
-        feat, coord, valid = make_points(jax.random.PRNGKey(2), n_valid=190)
+        feat, coord, valid = make_points(jax.random.PRNGKey(2), n_valid=72)
         model = PTv3Single(cfg=cfg, in_channels=12)
         params = model.init(jax.random.PRNGKey(1), feat, coord, valid)
         out1 = model.apply(params, feat, coord, valid)
-        feat2 = feat.at[190:].set(99.0)
-        coord2 = coord.at[190:].set(0.123)
+        feat2 = feat.at[72:].set(99.0)
+        coord2 = coord.at[72:].set(0.123)
         out2 = model.apply(params, feat2, coord2, valid)
         np.testing.assert_allclose(
-            np.asarray(out1[:190]), np.asarray(out2[:190]), atol=1e-5)
+            np.asarray(out1[:72]), np.asarray(out2[:72]), atol=1e-5)
 
     def test_batched_wrapper(self):
         cfg = tiny_ptv3_cfg()
         f1, c1, v1 = make_points(jax.random.PRNGKey(3))
-        f2, c2, v2 = make_points(jax.random.PRNGKey(4), n_valid=256)
+        f2, c2, v2 = make_points(jax.random.PRNGKey(4), n_valid=96)
         feat = jnp.stack([f1, f2])
         coord = jnp.stack([c1, c2])
         valid = jnp.stack([v1, v2])
         model = PointTransformerV3(cfg=cfg, in_channels=12)
         params = model.init(jax.random.PRNGKey(5), feat, coord, valid)
         out = model.apply(params, feat, coord, valid)
-        assert out.shape == (2, 256, cfg.dec_channels[0])
+        assert out.shape == (2, 96, cfg.dec_channels[0])
         # batch elements are independent
         out_b0 = model.apply(params, f1[None], c1[None], v1[None])
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out_b0[0]),
@@ -160,7 +160,7 @@ class TestPTv3:
             sin_cos_freq_bends=2, z_dim=16, mlp_hidden_dim=32,
             ptv3=tiny_ptv3_cfg().replace(enabled=True),
         )
-        B, N = 1, 256
+        B, N = 1, 96
         gen = Generator(cfg=net, n_classes=8, proj_size=32)
         rng = jax.random.PRNGKey(0)
         rel_xyz = jax.random.uniform(rng, (B, N, 3), minval=-1, maxval=1)
@@ -180,11 +180,11 @@ class TestPooledCapacity:
         # clustered synthetic data: vertical shell columns -> runs of
         # consecutive cord codes merge under >>3, so capacity N/2 is safe
         cfg = tiny_ptv3_cfg().replace(pool_capacity_divisor=2)
-        N = 256
+        N = 128
         key = jax.random.PRNGKey(0)
-        base = jax.random.uniform(key, (32, 2), minval=-1, maxval=1)
-        cols = jnp.repeat(base, 8, axis=0)  # 32 columns x 8 z-steps
-        z = jnp.tile(jnp.linspace(-1, 1, 8), 32)[:, None] * 0.04
+        base = jax.random.uniform(key, (16, 2), minval=-1, maxval=1)
+        cols = jnp.repeat(base, 8, axis=0)  # 16 columns x 8 z-steps
+        z = jnp.tile(jnp.linspace(-1, 1, 8), 16)[:, None] * 0.04
         coord = jnp.concatenate([cols, z], axis=-1)
         feat = jax.random.normal(jax.random.fold_in(key, 1), (N, 12))
         valid = jnp.ones((N,), bool)
@@ -194,9 +194,40 @@ class TestPooledCapacity:
         assert out.shape == (N, cfg.dec_channels[0])
         assert np.all(np.isfinite(np.asarray(out)))
         # padding invariance still holds with capacities
-        valid2 = jnp.arange(N) < 240
+        valid2 = jnp.arange(N) < 120
         o1 = model.apply(params, feat, coord, valid2)
-        o2 = model.apply(params, feat.at[240:].set(7.0),
-                         coord.at[240:].set(0.9), valid2)
-        np.testing.assert_allclose(np.asarray(o1[:240]),
-                                   np.asarray(o2[:240]), atol=1e-5)
+        o2 = model.apply(params, feat.at[120:].set(7.0),
+                         coord.at[120:].set(0.9), valid2)
+        np.testing.assert_allclose(np.asarray(o1[:120]),
+                                   np.asarray(o2[:120]), atol=1e-5)
+
+
+class TestPoolOverflowCounter:
+    def _run(self, divisor, patch):
+        # every point in its own grid cell -> n_clusters == n_valid at the
+        # first pooling; capacity = max(N//divisor, min(patch, N))
+        cfg = tiny_ptv3_cfg().replace(
+            pool_capacity_divisor=divisor,
+            enc_patch_size=(patch,) * 3, dec_patch_size=(patch,) * 2)
+        N = 64
+        side = jnp.linspace(-0.9, 0.9, 4)
+        coord = jnp.stack(jnp.meshgrid(side, side, side, indexing="ij"),
+                          axis=-1).reshape(-1, 3)
+        feat = jax.random.normal(jax.random.PRNGKey(0), (N, 12))
+        valid = jnp.ones((N,), bool)
+        model = PTv3Single(cfg=cfg, in_channels=12)
+        params = model.init(jax.random.PRNGKey(1), feat, coord, valid)
+        out, vs = model.apply(params, feat, coord, valid,
+                              mutable=["intermediates"])
+        total = sum(
+            int(jnp.sum(v))
+            for v in jax.tree_util.tree_leaves(vs["intermediates"]))
+        return total
+
+    def test_overflow_is_counted(self):
+        # cap at stage1 = max(64//8, 8) = 8 < 64 distinct clusters
+        assert self._run(divisor=8, patch=8) > 0
+
+    def test_no_overflow_when_capacity_suffices(self):
+        # divisor=1 keeps full N at every stage -> no clamping possible
+        assert self._run(divisor=1, patch=64) == 0

@@ -1,0 +1,704 @@
+# -*- coding: utf-8 -*-
+"""Golden parity tests against the actual reference implementation.
+
+The reference repo at /root/reference is CUDA-first, but its models/losses
+/utils are importable and runnable on CPU with torch 2.x.  These tests
+instantiate the reference torch modules, port their state_dicts into the
+Flax trees, and assert outputs (and input gradients where meaningful)
+allclose — the north-star "matches the reference" gate for everything that
+runs without CUDA.  CUDA-only components (rasterizer kernels, voxlib,
+grid_encoder, spconv/flash PTv3) are covered by the oracle tests listed in
+COMPONENTS.md instead.
+"""
+
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+REF = "/root/reference"
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+_REF_CACHE = {}
+
+
+def load_ref(relpath, stubs=()):
+    """Import a reference source file under an isolated module name.
+
+    ``stubs`` lists module names to pre-register as empty stand-ins for
+    CUDA extensions / absent deps the file imports but these tests never
+    exercise.
+    """
+    key = relpath
+    if key in _REF_CACHE:
+        return _REF_CACHE[key]
+    for s in stubs:
+        if s not in sys.modules:
+            parts = s.split(".")
+            for i in range(1, len(parts) + 1):
+                nm = ".".join(parts[:i])
+                if nm not in sys.modules:
+                    sys.modules[nm] = _stub_module(nm)
+            if parts[0] != s:
+                setattr(sys.modules[parts[0]], parts[-1], sys.modules[s])
+    name = "ref_" + relpath.replace("/", "_").replace(".py", "")
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    _REF_CACHE[key] = mod
+    return mod
+
+
+def ref_generator_mod():
+    return load_ref("models/generator.py",
+                    stubs=("extensions.grid_encoder", "models.pt_v3"))
+
+
+def ref_helpers_mod():
+    return load_ref("utils/helpers.py", stubs=("plyfile",))
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def lin_kernel(w):  # torch Linear [out, in] -> flax [in, out]
+    return jnp.asarray(t2n(w).T)
+
+
+def conv_kernel(w):  # torch OIHW -> flax HWIO
+    return jnp.asarray(t2n(w).transpose(2, 3, 1, 0))
+
+
+def tconv_kernel(w):  # torch ConvTranspose [in, out, kh, kw] -> (kh, kw, in, out)
+    return jnp.asarray(t2n(w).transpose(2, 3, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+class TestGANLossParity:
+    @pytest.mark.parametrize("dis_update,t_real", [
+        (True, True), (True, False), (False, True)])
+    def test_loss_values(self, dis_update, t_real):
+        from gaussiancity_tpu.losses import gan_loss
+
+        ref = load_ref("losses/gan.py")
+        torch.manual_seed(0)
+        B, C, H, W = 2, 9, 8, 10
+        pred = torch.randn(B, C, H, W)
+        label = torch.zeros(B, C - 1, H, W)
+        idx = torch.randint(0, C - 1, (B, H, W))
+        label.scatter_(1, idx[:, None], 1.0)
+        weight = torch.rand(B, 1, H, W)
+
+        loss_ref = ref.GANLoss()(
+            {"pred": pred, "label": label}, t_real, weight=weight,
+            dis_update=dis_update)
+        ours = gan_loss(
+            jnp.asarray(t2n(pred).transpose(0, 2, 3, 1)),
+            jnp.asarray(t2n(label).transpose(0, 2, 3, 1)),
+            t_real,
+            weight=jnp.asarray(t2n(weight).transpose(0, 2, 3, 1)),
+            dis_update=dis_update)
+        np.testing.assert_allclose(float(ours), float(loss_ref), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Generator submodules
+# ---------------------------------------------------------------------------
+
+
+class TestSinCosEncoderParity:
+    def test_output(self):
+        from gaussiancity_tpu.models.generator import SinCosEncoder
+
+        gen = ref_generator_mod()
+        torch.manual_seed(1)
+        x = torch.randn(2, 17, 3)
+        ref_out = gen.SinCosEncoder(n_freq_bands=6)(x)
+        enc = SinCosEncoder(n_freq_bands=6)
+        ours = enc.apply({"params": {}}, jnp.asarray(t2n(x)))
+        np.testing.assert_allclose(np.asarray(ours), t2n(ref_out), atol=1e-5)
+
+
+class TestModLinearParity:
+    def test_output_and_grads(self):
+        from gaussiancity_tpu.models.generator import ModLinear
+
+        gen = ref_generator_mod()
+        torch.manual_seed(2)
+        I, O, Z, N = 12, 7, 5, 33
+        ref = gen.ModLinear(I, O, Z, bias=False, mod_bias=True,
+                            output_mode=True)
+        x = torch.randn(1, N, I, requires_grad=True)
+        z1 = torch.randn(1, 1, Z)
+        ref_out = ref(x, z1)
+        ref_out.sum().backward()
+
+        ours = ModLinear(I, O, Z, use_bias=False)
+        params = {
+            "weight": jnp.asarray(t2n(ref.weight)),
+            "weight_alpha": jnp.asarray(t2n(ref.weight_alpha)),
+            "bias_alpha": jnp.asarray(t2n(ref.bias_alpha)),
+            "weight_beta": jnp.asarray(t2n(ref.weight_beta)),
+            "bias_beta": jnp.asarray(t2n(ref.bias_beta)),
+        }
+        xj = jnp.asarray(t2n(x))
+        zj = jnp.broadcast_to(jnp.asarray(t2n(z1)), (1, N, Z))
+
+        def f(xx):
+            return ours.apply({"params": params}, xx, zj).sum()
+
+        val, grad = jax.value_and_grad(f)(xj)
+        out = ours.apply({"params": params}, xj, zj)
+        np.testing.assert_allclose(np.asarray(out), t2n(ref_out), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grad), t2n(x.grad), atol=1e-5)
+
+
+def _port_attr_mlp(ref, repo_cfg):
+    """torch GaussianAttrMLP state -> repo param tree."""
+    n_shared, factors, n_layers = (repo_cfg["n_shared_layers"],
+                                   repo_cfg["factors"], repo_cfg["n_layers"])
+    z_dim = repo_cfg["z_dim"]
+    params = {
+        "fc_1": {"kernel": lin_kernel(ref.fc_1.weight),
+                 "bias": jnp.asarray(t2n(ref.fc_1.bias))},
+        "fc_m_a": {"kernel": lin_kernel(ref.fc_m_a.weight)},
+    }
+
+    def port_layer(mod):
+        if z_dim is not None:
+            return {
+                "weight": jnp.asarray(t2n(mod.weight)),
+                "weight_alpha": jnp.asarray(t2n(mod.weight_alpha)),
+                "bias_alpha": jnp.asarray(t2n(mod.bias_alpha)),
+                "weight_beta": jnp.asarray(t2n(mod.weight_beta)),
+                "bias_beta": jnp.asarray(t2n(mod.bias_beta)),
+            }
+        return {"kernel": lin_kernel(mod.weight),
+                "bias": jnp.asarray(t2n(mod.bias))}
+
+    for i in range(2, n_shared + 1):
+        params[f"fc_{i}"] = port_layer(getattr(ref, f"fc_{i}"))
+    for k in factors:
+        for i in range(n_layers[k]):
+            nm = f"fc_{n_shared + 1}_{k}_{i}"
+            params[nm] = port_layer(getattr(ref, nm))
+        out = getattr(ref, f"fc_out_{k}")
+        params[f"fc_out_{k}"] = {"kernel": lin_kernel(out.weight),
+                                 "bias": jnp.asarray(t2n(out.bias))}
+    return params
+
+
+class TestGaussianAttrMLPParity:
+    def _mk(self, z_dim):
+        gen = ref_generator_mod()
+        torch.manual_seed(3)
+        cfg = dict(n_classes=8, in_dim=24, z_dim=z_dim, hidden_dim=32,
+                   n_shared_layers=3,
+                   factors={"rgb": 2.0, "opacity": 0.5},
+                   n_layers={"rgb": 2, "opacity": 1})
+        ref = gen.GaussianAttrMLP(**cfg)
+        ref.eval()
+        return gen, ref, cfg
+
+    def test_no_z(self):
+        from gaussiancity_tpu.models.generator import GaussianAttrMLP
+
+        gen, ref, cfg = self._mk(z_dim=None)
+        torch.manual_seed(4)
+        B, N = 1, 40
+        feat = torch.randn(B, N, cfg["in_dim"])
+        onehots = torch.zeros(B, N, 8)
+        onehots.scatter_(2, torch.randint(0, 8, (B, N, 1)), 1.0)
+        with torch.no_grad():
+            ref_out = ref(feat, onehots, None)
+
+        ours = GaussianAttrMLP(**cfg)
+        params = _port_attr_mlp(ref, cfg)
+        out = ours.apply({"params": params}, jnp.asarray(t2n(feat)),
+                         jnp.asarray(t2n(onehots)), None)
+        for k in cfg["factors"]:
+            np.testing.assert_allclose(np.asarray(out[k]), t2n(ref_out[k]),
+                                       atol=1e-5, err_msg=k)
+
+    def test_with_z_per_instance(self):
+        from gaussiancity_tpu.models.generator import GaussianAttrMLP
+
+        gen, ref, cfg = self._mk(z_dim=16)
+        torch.manual_seed(5)
+        B, N = 1, 48
+        feat = torch.randn(B, N, cfg["in_dim"])
+        onehots = torch.zeros(B, N, 8)
+        onehots.scatter_(2, torch.randint(0, 8, (B, N, 1)), 1.0)
+        instances = torch.randint(0, 3, (B, N, 1))
+        # reference-style per-instance z dict
+        zs = {}
+        for ui in instances.unique().tolist():
+            zs[ui] = {"z": torch.randn(1, 16),
+                      "idx": instances[..., 0] == ui}
+        with torch.no_grad():
+            ref_out = ref(feat, onehots, zs)
+
+        # dense per-point z carrying the same per-instance codes
+        z_dense = torch.zeros(B, N, 16)
+        for ui, v in zs.items():
+            z_dense[v["idx"]] = v["z"]
+
+        ours = GaussianAttrMLP(**cfg)
+        params = _port_attr_mlp(ref, cfg)
+        out = ours.apply({"params": params}, jnp.asarray(t2n(feat)),
+                         jnp.asarray(t2n(onehots)), jnp.asarray(t2n(z_dense)))
+        for k in cfg["factors"]:
+            np.testing.assert_allclose(np.asarray(out[k]), t2n(ref_out[k]),
+                                       atol=1e-5, err_msg=k)
+
+
+def _conv_p(mod, bias=True):
+    p = {"kernel": conv_kernel(mod.weight)}
+    if bias and mod.bias is not None:
+        p["bias"] = jnp.asarray(t2n(mod.bias))
+    return {"Conv_0": p}
+
+
+def _port_srt_block(ref_block):
+    return {
+        "TorchConv_0": _conv_p(ref_block.layers[0]),
+        "TorchConv_1": _conv_p(ref_block.layers[2]),
+    }
+
+
+class TestGlobalEncoderParity:
+    def test_output(self):
+        from gaussiancity_tpu.models.generator import GlobalEncoder
+
+        gen = ref_generator_mod()
+        torch.manual_seed(6)
+        n_classes, n_blocks, out_ch = 8, 3, 2
+        ref = gen.GlobalEncoder(n_classes, n_blocks, out_ch)
+        ref.eval()
+        B, P = 1, 32
+        hf = torch.rand(B, 1, P, P)
+        seg = torch.rand(B, n_classes, P, P)
+        with torch.no_grad():
+            ref_out = ref(hf, seg)
+
+        params = {
+            "TorchConv_0": _conv_p(ref.hf_conv),
+            "TorchConv_1": _conv_p(ref.seg_conv),
+            "TorchDense_0": {"kernel": lin_kernel(ref.fc1.weight),
+                             "bias": jnp.asarray(t2n(ref.fc1.bias))},
+            "TorchDense_1": {"kernel": lin_kernel(ref.fc2.weight),
+                             "bias": jnp.asarray(t2n(ref.fc2.bias))},
+        }
+        for i, blk in enumerate(ref.conv_blocks):
+            params[f"SRTConvBlock_{i}"] = _port_srt_block(blk)
+
+        ours = GlobalEncoder(n_blocks=n_blocks, out_channels=out_ch)
+        out = ours.apply({"params": params},
+                         jnp.asarray(t2n(hf).transpose(0, 2, 3, 1)),
+                         jnp.asarray(t2n(seg).transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out), t2n(ref_out), atol=2e-5)
+
+
+def _port_gn(gn):
+    return {"scale": jnp.asarray(t2n(gn.weight)),
+            "bias": jnp.asarray(t2n(gn.bias))}
+
+
+def _port_res_block(ref_blk, cin, cout):
+    p = {
+        "GroupNorm_0": _port_gn(ref_blk.bn1),
+        "TorchConv_0": _conv_p(ref_blk.conv1),
+        "GroupNorm_1": _port_gn(ref_blk.bn2),
+        "TorchConv_1": _conv_p(ref_blk.conv2),
+        "GroupNorm_2": _port_gn(ref_blk.bn3),
+        "TorchConv_2": _conv_p(ref_blk.conv3),
+    }
+    if cin != cout:
+        p["GroupNorm_3"] = _port_gn(ref_blk.bn4)
+        p["TorchConv_3"] = _conv_p(ref_blk.downsample[2])
+    return p
+
+
+class TestLocalEncoderParity:
+    def test_output(self):
+        from gaussiancity_tpu.models.generator import LocalEncoder
+
+        gen = ref_generator_mod()
+        torch.manual_seed(7)
+        n_classes, out_ch = 8, 2
+        ref = gen.LocalEncoder(n_classes, out_ch)
+        ref.eval()
+        B, P = 1, 32
+        hf = torch.rand(B, 1, P, P)
+        seg = torch.rand(B, n_classes, P, P)
+        with torch.no_grad():
+            ref_out = ref(hf, seg)
+
+        params = {
+            "TorchConv_0": _conv_p(ref.hf_conv),
+            "TorchConv_1": _conv_p(ref.seg_conv),
+            "GroupNorm_0": _port_gn(ref.bn1),
+            "ResConvBlock_0": _port_res_block(ref.conv2, 64, 128),
+            "ResConvBlock_1": _port_res_block(ref.conv3, 128, 256),
+            "ResConvBlock_2": _port_res_block(ref.conv4, 256, 512),
+            "TorchConvTranspose_0": {
+                "kernel": tconv_kernel(ref.dconv5.weight),
+                "bias": jnp.asarray(t2n(ref.dconv5.bias))},
+            "TorchConvTranspose_1": {
+                "kernel": tconv_kernel(ref.dconv6.weight),
+                "bias": jnp.asarray(t2n(ref.dconv6.bias))},
+            "TorchConv_2": _conv_p(ref.dconv7),
+        }
+        ours = LocalEncoder(out_channels=out_ch)
+        out = ours.apply({"params": params},
+                         jnp.asarray(t2n(hf).transpose(0, 2, 3, 1)),
+                         jnp.asarray(t2n(seg).transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out),
+                                   t2n(ref_out).transpose(0, 2, 3, 1),
+                                   atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Discriminator
+# ---------------------------------------------------------------------------
+
+
+def _inject_exact_sn_vectors(tmod):
+    """Overwrite a torch spectral_norm'd conv's power-iteration buffers with
+    the exact top singular vectors, so its eval-mode sigma is the true
+    spectral norm (torch computes sigma = u^T W v from the buffers)."""
+    wmat = tmod.weight_orig.reshape(tmod.weight_orig.shape[0], -1)
+    U, S, Vh = torch.linalg.svd(wmat.detach(), full_matrices=False)
+    tmod.weight_u.data = U[:, 0].contiguous()
+    tmod.weight_v.data = Vh[0, :].contiguous()
+
+
+def _exact_flax_sn_u(kernel):
+    """The flax SpectralNorm ``u`` (shape (1, out)) that makes its one-step
+    power iteration on kernel.reshape(-1, out) produce the exact spectral
+    norm: the top right-singular vector of that matrix."""
+    val = np.asarray(kernel).reshape(-1, kernel.shape[-1])
+    _, _, vh = np.linalg.svd(val, full_matrices=False)
+    return jnp.asarray(vh[0:1, :])
+
+
+class TestDiscriminatorParity:
+    def test_output(self):
+        from gaussiancity_tpu.models.discriminator import Discriminator
+
+        ref_mod = load_ref("models/discriminator.py")
+        torch.manual_seed(8)
+        nc_base, n_classes = 16, 8
+        cfg = types.SimpleNamespace(DIS_N_CHANNEL_BASE=nc_base)
+        ref = ref_mod.Discriminator(cfg, n_classes)
+        ref.eval()
+        B, H, W = 1, 64, 96
+        images = torch.rand(B, 3, H, W) * 2 - 1
+        seg = torch.zeros(B, n_classes, H, W)
+        seg.scatter_(1, torch.randint(0, n_classes, (B, 1, H, W)), 1.0)
+        masks = (torch.rand(B, 1, H, W) > 0.2).float()
+        for name in ("enc1", "enc2", "enc3", "enc4", "enc5",
+                     "lat2", "lat3", "lat4", "lat5", "final2"):
+            _inject_exact_sn_vectors(getattr(ref, name)[0])
+        with torch.no_grad():
+            ref_out = ref(images, seg, masks)
+
+        ours = Discriminator(n_channel_base=nc_base, n_classes=n_classes)
+        variables = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(t2n(images).transpose(0, 2, 3, 1)),
+            jnp.asarray(t2n(seg).transpose(0, 2, 3, 1)),
+            jnp.asarray(t2n(masks).transpose(0, 2, 3, 1)))
+        params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+        stats = jax.tree_util.tree_map(lambda x: x, variables["batch_stats"])
+
+        import flax
+
+        params = flax.core.unfreeze(params)
+        stats = flax.core.unfreeze(stats)
+        for name in ("enc1", "enc2", "enc3", "enc4", "enc5",
+                     "lat2", "lat3", "lat4", "lat5", "final2"):
+            tmod = getattr(ref, name)[0]
+            kern = conv_kernel(tmod.weight_orig)
+            params[name]["Conv_0"]["kernel"] = kern
+            params[name]["Conv_0"]["bias"] = jnp.asarray(t2n(tmod.bias))
+            # inject the exact top singular vector so flax's power
+            # iteration lands on the same sigma torch uses
+            sn_stats = stats[name]["SpectralNorm_0"]
+            (u_key,) = [k for k in sn_stats if k.endswith("/u")]
+            sn_stats[u_key] = _exact_flax_sn_u(kern)
+        params["output"]["kernel"] = conv_kernel(ref.output[0].weight)
+        params["output"]["bias"] = jnp.asarray(t2n(ref.output[0].bias))
+
+        out = ours.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(t2n(images).transpose(0, 2, 3, 1)),
+            jnp.asarray(t2n(seg).transpose(0, 2, 3, 1)),
+            jnp.asarray(t2n(masks).transpose(0, 2, 3, 1)),
+            False,  # update_sn=False: use injected sigmas
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred"]),
+            t2n(ref_out["pred"]).transpose(0, 2, 3, 1), atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["label"]),
+            t2n(ref_out["label"]).transpose(0, 2, 3, 1), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+class TestHelpersParity:
+    def test_get_one_hot(self):
+        from gaussiancity_tpu.utils import helpers
+
+        ref = ref_helpers_mod()
+        torch.manual_seed(9)
+        cls = torch.randint(0, 8, (1, 20, 1))
+        want = ref.get_one_hot(cls, 8)
+        ours = helpers.get_one_hot(jnp.asarray(t2n(cls))[..., 0], 8)
+        np.testing.assert_array_equal(np.asarray(ours), t2n(want))
+
+    def test_get_projection_uv(self):
+        from gaussiancity_tpu.utils import helpers
+
+        ref = ref_helpers_mod()
+        torch.manual_seed(10)
+        xyz = torch.rand(1, 30, 3) * 100
+        tlp = torch.tensor([[3.0, 7.0]])
+        for tlp_arg, tlp_j in ((None, None), (tlp, jnp.asarray(t2n(tlp)))):
+            want = ref.get_projection_uv(xyz.clone(), tlp_arg, 128)
+            ours = helpers.get_projection_uv(jnp.asarray(t2n(xyz)), tlp_j, 128)
+            np.testing.assert_allclose(np.asarray(ours), t2n(want), atol=1e-6)
+
+    def test_get_point_scales(self):
+        from gaussiancity_tpu.utils import helpers
+
+        ref = ref_helpers_mod()
+        torch.manual_seed(11)
+        scales = torch.rand(1, 25, 1) * 3
+        classes = torch.randint(0, 8, (1, 25, 1))
+        want = ref.get_point_scales(scales, classes, [1, 5, 6])
+        ours = helpers.get_point_scales(
+            jnp.asarray(t2n(scales)), jnp.asarray(t2n(classes))[..., 0],
+            (1, 5, 6))
+        np.testing.assert_allclose(np.asarray(ours), t2n(want), atol=1e-6)
+
+    def test_get_gaussian_points(self):
+        from gaussiancity_tpu.utils import helpers
+
+        ref = ref_helpers_mod()
+        torch.manual_seed(12)
+        B, N = 1, 15
+        xyz = torch.rand(B, N, 3)
+        scales = torch.rand(B, N, 3)
+        attrs = {"rgb": torch.rand(B, N, 3) - 0.5,
+                 "xyz": torch.rand(B, N, 3) * 0.1,
+                 "scale": torch.rand(B, N, 3) + 0.5,
+                 "opacity": torch.rand(B, N, 1)}
+        want = ref.get_gaussian_points(
+            xyz.clone(), scales.clone(),
+            {k: v.clone() for k, v in attrs.items()})
+        ours = helpers.get_gaussian_points(
+            jnp.asarray(t2n(xyz)), jnp.asarray(t2n(scales)),
+            {k: jnp.asarray(t2n(v)) for k, v in attrs.items()})
+        assert ours.shape[-1] == 14
+        np.testing.assert_allclose(np.asarray(ours), t2n(want), atol=1e-6)
+
+    def test_repeat_pts(self):
+        from gaussiancity_tpu.utils import helpers
+
+        ref = ref_helpers_mod()
+        pts = torch.rand(1, 6, 5)
+        want = ref.repeat_pts(pts, 3)
+        ours = helpers.repeat_pts(jnp.asarray(t2n(pts)), 3)
+        np.testing.assert_allclose(np.asarray(ours), t2n(want), atol=1e-6)
+
+    def test_get_camera_look_at(self):
+        from gaussiancity_tpu.utils import helpers
+
+        ref = ref_helpers_mod()
+        q = np.array([0.1, -0.3, 0.2, 0.9])
+        q = q / np.linalg.norm(q)
+        pos = np.array([5.0, -2.0, 30.0])
+        want = ref.get_camera_look_at(pos, q, step=500)
+        ours = helpers.get_camera_look_at(pos, q, step=500.0)
+        np.testing.assert_allclose(np.asarray(ours), want, atol=1e-6)
+
+    def test_intrinsic_to_fov(self):
+        from gaussiancity_tpu import camera
+
+        ref = ref_helpers_mod()
+        assert camera.intrinsic_to_fov(1528.15, 960) == pytest.approx(
+            float(ref.intrinsic_to_fov(1528.15, 960)))
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+
+def ref_transforms_mod():
+    return load_ref("utils/transforms.py")
+
+
+class TestTransformsParity:
+    def test_to_onehot(self):
+        from gaussiancity_tpu.data import transforms as T
+
+        ref = ref_transforms_mod()
+        rng = np.random.default_rng(0)
+        seg = rng.integers(0, 8, (16, 20)).astype(np.int64)
+        ref_tr = ref.ToOneHot({"n_classes": 8}, ["seg"])
+        want = ref_tr({"seg": seg.copy()})["seg"]
+        got = T.ToOneHot(8, objects=("seg",))({"seg": seg.copy()}, rng)["seg"]
+        np.testing.assert_array_equal(got, want)
+
+    def test_to_onehot_ignored_classes(self):
+        from gaussiancity_tpu.data import transforms as T
+
+        ref = ref_transforms_mod()
+        rng = np.random.default_rng(1)
+        seg = rng.integers(0, 8, (10, 12)).astype(np.int64)
+        ref_tr = ref.ToOneHot({"n_classes": 8, "ignored_classes": [3, 5]},
+                              ["seg"])
+        want = ref_tr({"seg": seg.copy()})["seg"]
+        got = T.ToOneHot(8, objects=("seg",), ignored_classes=(3, 5))(
+            {"seg": seg.copy()}, rng)["seg"]
+        np.testing.assert_array_equal(got, want)
+
+    def test_normalize_point_cords(self):
+        from gaussiancity_tpu.data import transforms as T
+
+        ref = ref_transforms_mod()
+        rng = np.random.default_rng(2)
+        n = 60
+        # reference layout: pts[:, -1] is the instance id, [:3] are xyz
+        xyz = rng.integers(0, 100, (n, 3))
+        scale = rng.integers(1, 4, (n, 1))
+        ins = rng.choice([1, 100, 101], n)[:, None]
+        pts = np.concatenate([xyz, scale, ins], axis=1).astype(np.int64)
+        centers = {
+            1: np.array([50.0, 50.0, 100.0, 100.0, 30.0]),
+            100: np.array([20.0, 30.0, 12.0, 8.0, 25.0]),
+            101: np.array([20.0, 30.0, 12.0, 8.0, 25.0]),
+        }
+        want = ref.NormalizePointCords(None, None)(
+            {"pts": pts.copy(), "centers": {k: v.copy()
+                                            for k, v in centers.items()}}
+        )["pts"]
+        got = T.NormalizePointCords()(
+            {"pts": pts.copy(), "centers": {k: v.copy()
+                                            for k, v in centers.items()}},
+            rng)["pts"]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual loss (structure + weight-conversion chain)
+# ---------------------------------------------------------------------------
+
+
+def _torch_vgg19_features():
+    """The torchvision vgg19.features layout (conv3x3+ReLU stages with
+    maxpools), torch-default random init — a stand-in for the ImageNet
+    checkpoint this environment cannot download (zero egress)."""
+    layers = []
+    cin = 3
+    for ch, n_convs in ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4)):
+        for _ in range(n_convs):
+            layers.append(torch.nn.Conv2d(cin, ch, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=True))
+            cin = ch
+        layers.append(torch.nn.MaxPool2d(2, 2))
+    return torch.nn.Sequential(*layers)
+
+
+class TestPerceptualLossParity:
+    def test_structure_and_converter(self):
+        """Reference PerceptualLoss (with a stubbed torchvision carrying
+        random VGG19 weights) vs our Flax PerceptualLoss fed the SAME
+        weights through convert_torch_state_dict + load_vgg19_npz.
+        Proves the whole conversion chain: when real ImageNet weights are
+        converted on a networked machine, features will match."""
+        import tempfile
+
+        from gaussiancity_tpu.losses.perceptual import (
+            PerceptualLoss, convert_torch_state_dict,
+        )
+
+        torch.manual_seed(20)
+        feats = _torch_vgg19_features()
+
+        class _VGG(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.features = feats
+                self.avgpool = torch.nn.AdaptiveAvgPool2d((7, 7))
+                self.classifier = torch.nn.Sequential(
+                    torch.nn.Linear(512 * 7 * 7, 64), torch.nn.ReLU(True),
+                    torch.nn.Dropout(), torch.nn.Linear(64, 64),
+                    torch.nn.ReLU(True), torch.nn.Dropout(),
+                    torch.nn.Linear(64, 10))
+
+        tv = _stub_module("torchvision")
+        tv.models = _stub_module("torchvision.models")
+        tv.models.vgg19 = lambda **kw: _VGG()
+        tv.models.VGG19_Weights = types.SimpleNamespace(IMAGENET1K_V1=None)
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+        try:
+            ref_mod = load_ref("losses/perceptual.py")
+        finally:
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.models", None)
+        _REF_CACHE.pop("losses/perceptual.py", None)
+
+        layers = ["relu_2_1", "relu_3_1"]
+        weights = [0.25, 1.0]
+        ref_loss = ref_mod.PerceptualLoss(
+            network="vgg19", layers=layers, weights=weights, num_scales=2)
+        torch.manual_seed(21)
+        inp = torch.rand(1, 3, 64, 64) * 2 - 1
+        tgt = torch.rand(1, 3, 64, 64) * 2 - 1
+        with torch.no_grad():
+            want = float(ref_loss(inp, tgt))
+
+        npz_dict = convert_torch_state_dict(
+            {f"features.{k}": v.detach().numpy()
+             for k, v in feats.state_dict().items()})
+        with tempfile.NamedTemporaryFile(suffix=".npz") as tmp:
+            np.savez(tmp.name, **npz_dict)
+            import os as _os
+
+            _os.environ["GAUSSIANCITY_VGG19_NPZ"] = tmp.name
+            try:
+                ours = PerceptualLoss(layers=layers, weights=weights,
+                                      num_scales=2)
+                params = ours.init(jax.random.PRNGKey(0), (1, 64, 64, 3))
+            finally:
+                del _os.environ["GAUSSIANCITY_VGG19_NPZ"]
+        got = float(ours(params,
+                         jnp.asarray(t2n(inp).transpose(0, 2, 3, 1)),
+                         jnp.asarray(t2n(tgt).transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(got, want, rtol=2e-4)

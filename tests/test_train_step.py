@@ -48,9 +48,9 @@ def tiny_config(use_disc=True, z_dim=None, encoder="GLOBAL"):
     return Config(dataset=ds, network=net, rasterizer=rast, train=tr)
 
 
-def synthetic_batch(key, cfg, n_pts=64):
+def synthetic_batch(key, cfg, n_pts=64, split="train"):
     ds = cfg.dataset
-    Wc, Hc = ds.train_crop_size
+    Wc, Hc = ds.train_crop_size if split == "train" else ds.test_crop_size
     P = ds.proj_size
     ks = jax.random.split(key, 8)
     depth = jax.random.uniform(ks[0], (1, n_pts), minval=5.0, maxval=30.0)
@@ -157,3 +157,70 @@ class TestDataParallel:
         state2, metrics = pstep(state, gbatch, jax.random.PRNGKey(2))
         assert np.isfinite(float(metrics["GenLoss"]))
         assert int(state2.step) == 1
+
+
+class TestEvalCropSize:
+    def test_eval_step_uses_test_crop_size(self):
+        # Regression for the round-1 eval-path bug: eval batches are
+        # center-cropped to test_crop_size (reference utils/datasets.py
+        # :200-253) which differs from the train crop with the *default*
+        # GoogleEarth sizes (train 448x448, test 720x405, sensor 960x540).
+        from gaussiancity_tpu.config import DatasetConfig as DC
+
+        dflt = DC()
+        cfg = tiny_config(use_disc=False)
+        cfg = cfg.replace(
+            dataset=cfg.dataset.replace(
+                sensor_size=dflt.sensor_size,
+                train_crop_size=dflt.train_crop_size,
+                test_crop_size=dflt.test_crop_size,
+                cam_k=dflt.cam_k,
+            ),
+            rasterizer=cfg.rasterizer.replace(tile_capacity=64),
+        )
+        assert cfg.dataset.train_crop_size != cfg.dataset.test_crop_size
+        trainer = Trainer(cfg)
+        train_batch = synthetic_batch(jax.random.PRNGKey(0), cfg, n_pts=32)
+        state = trainer.init_state(jax.random.PRNGKey(1), train_batch)
+        eval_batch = synthetic_batch(jax.random.PRNGKey(2), cfg, n_pts=32,
+                                     split="test")
+        metrics, fake = jax.jit(trainer.eval_step)(
+            state, eval_batch, jax.random.PRNGKey(3))
+        Wt, Ht = cfg.dataset.test_crop_size
+        assert fake.shape == (1, Ht, Wt, 3)
+        assert np.isfinite(float(metrics["L1Loss"]))
+
+
+class TestOverflowSurfacing:
+    def test_binning_overflow_reaches_metrics(self):
+        # All points on the optical axis -> every Gaussian lands in the same
+        # tile; with tile_capacity 8 << 64 points the binning must truncate
+        # and report it through the train metrics (never silently).
+        cfg = tiny_config(use_disc=False)
+        cfg = cfg.replace(rasterizer=cfg.rasterizer.replace(
+            tile_capacity=8, max_tiles_per_gaussian=4))
+        trainer = Trainer(cfg)
+        batch = synthetic_batch(jax.random.PRNGKey(1), cfg)
+        pts = batch["pts"]
+        xyz = jnp.concatenate([
+            jnp.full((1, pts.shape[1], 1), 10.0),   # depth
+            jnp.zeros((1, pts.shape[1], 2)),        # centered
+        ], axis=-1)
+        batch["pts"] = jnp.concatenate([xyz, pts[..., 3:]], axis=-1)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        _, metrics = make_train_step(trainer)(
+            state, batch, jax.random.PRNGKey(2))
+        assert float(metrics["RasterTruncated"]) > 0
+        assert "RasterDroppedPairs" in metrics
+        assert "PTv3PoolOverflow" in metrics
+
+    def test_no_overflow_reports_zero(self):
+        cfg = tiny_config(use_disc=False)
+        trainer = Trainer(cfg)
+        batch = synthetic_batch(jax.random.PRNGKey(1), cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        _, metrics = make_train_step(trainer)(
+            state, batch, jax.random.PRNGKey(2))
+        assert float(metrics["RasterTruncated"]) == 0.0
+        assert float(metrics["RasterDroppedPairs"]) == 0.0
+        assert float(metrics["PTv3PoolOverflow"]) == 0.0
