@@ -175,6 +175,11 @@ class RasterizerConfig(_Base):
     # Chunk size of the k-loop in the blend kernels.
     chunk: int = 8
     backend: str = "auto"  # "pallas" | "xla" | "auto"
+    # Pallas slot-page size (lane width of one packed attribute chunk and
+    # the granularity of the kernels' early-exit checks). 0 = auto
+    # (128 on TPU, 16 in CPU interpret mode). Smaller pages exit earlier
+    # on saturated tiles at the cost of more (padded) chunk loads.
+    page: int = 0
 
 
 # ---------------------------------------------------------------------------

@@ -45,18 +45,31 @@ def rasterize(
     opacities: jnp.ndarray,
     scales: jnp.ndarray,
     quats: jnp.ndarray,
-    colors: jnp.ndarray,
+    colors: Optional[jnp.ndarray],
     cam: CameraParams,
     cfg: RasterizerConfig = RasterizerConfig(),
     valid: Optional[jnp.ndarray] = None,
     bg: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
+    shs: Optional[jnp.ndarray] = None,
+    sh_degree: int = 0,
 ) -> RenderOutput:
     """Render N (padded) Gaussians to a [3, H, W] image.
 
-    Differentiable w.r.t. means3d, opacities, scales, quats, colors, bg.
+    Differentiable w.r.t. means3d, opacities, scales, quats, colors/shs, bg.
+    Exactly one of ``colors`` ([N, 3] precomputed) and ``shs``
+    ([N, M, 3] spherical-harmonics coefficients, evaluated along the view
+    direction at ``sh_degree``) must be given, mirroring the reference's
+    ``colors_precomp`` / ``shs`` contract (dgr/__init__.py:236-243).
     """
     N = means3d.shape[0]
+    if (colors is None) == (shs is None):
+        raise ValueError(
+            "exactly one of colors and shs must be provided")
+    if colors is None:
+        from gaussiancity_tpu.ops.rasterizer import sh as _sh
+
+        colors = _sh.eval_sh_colors(shs, means3d, cam.cam_pos, sh_degree)
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
     if bg is None:
@@ -96,11 +109,15 @@ def rasterize(
         # the paged [T, NC, 16, page] kernel layout.
         from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
-        page = blend_pallas.default_page()
+        page = cfg.page or blend_pallas.default_page()
         T_tiles, K = idx.shape
         assert K % page == 0, "tile_capacity must be a multiple of the page"
         attrs = prep.attrs16()  # [N, 16]
-        gathered = attrs[idx.reshape(-1)]  # [T*K, 16]
+        # promise_in_bounds: idx is clamped by construction (binning.py);
+        # the mode also propagates to the VJP's scatter-add transpose,
+        # skipping per-row bounds handling on TPU.
+        gathered = attrs.at[idx.reshape(-1)].get(
+            mode="promise_in_bounds")  # [T*K, 16]
         attrs_paged = gathered.reshape(T_tiles, K // page, page, 16)
         attrs_paged = attrs_paged.transpose(0, 1, 3, 2)
         counts_f = bins.counts.astype(jnp.float32)

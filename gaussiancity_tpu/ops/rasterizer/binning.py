@@ -141,7 +141,8 @@ def bin_gaussians(
 
     k = jnp.arange(K, dtype=jnp.int32)
     gather_pos = jnp.minimum(starts[:, None] + k[None, :], D * N - 1)
-    gauss_index = idx_s[gather_pos]  # [T, K]
+    gauss_index = idx_s.at[gather_pos].get(
+        mode="promise_in_bounds")  # [T, K]
     kmask = k[None, :] < counts[:, None]
     gauss_index = jnp.where(kmask, gauss_index, 0)
 
