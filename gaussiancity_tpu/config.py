@@ -227,6 +227,11 @@ class GaussianNetworkConfig(_Base):
     attr_n_layers: Dict[str, int] = field(default_factory=lambda: {"rgb": 1})
     dis_n_channel_base: int = 128
     ptv3: PTv3Config = field(default_factory=PTv3Config)
+    # Generator compute dtype ("float32" | "bfloat16"): params and loss
+    # math stay f32; matmuls/attention/gathers run in bf16 with f32
+    # accumulation on the MXU.  Norm statistics and the attribute
+    # squashing always compute in f32.
+    compute_dtype: str = "float32"
 
 
 # ---------------------------------------------------------------------------

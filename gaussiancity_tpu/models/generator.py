@@ -73,20 +73,31 @@ def TorchLinear(features: int, use_bias: bool = True, name: Optional[str] = None
 
 
 class TorchDense(nn.Module):
-    """Dense with full torch default init (bias bound from actual fan_in)."""
+    """Dense with full torch default init (bias bound from actual fan_in).
+
+    ``dtype`` is the compute dtype (params stay f32): inputs and the
+    kernel are cast before the matmul, so on TPU a bf16 dtype runs the
+    MXU at double rate with f32 accumulation.
+    """
 
     features: int
     use_bias: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_kaiming_uniform,
                             (fan_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
             bias = self.param("bias", torch_bias_uniform(fan_in),
                               (self.features,))
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
             y = y + bias
         return y
 
@@ -327,6 +338,7 @@ class ModLinear(nn.Module):
     use_bias: bool = False
     weight_gain: float = 1.0
     bias_init_val: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, z):
@@ -352,6 +364,13 @@ class ModLinear(nn.Module):
         bias_beta = self.param(
             "bias_beta", lambda k, s: jnp.zeros(s), (self.out_features,)
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            z = z.astype(self.dtype)
+            weight, weight_alpha, bias_alpha, weight_beta, bias_beta = (
+                a.astype(self.dtype)
+                for a in (weight, weight_alpha, bias_alpha, weight_beta,
+                          bias_beta))
         alpha = z @ weight_alpha.T + bias_alpha  # [..., I]
         beta = z @ weight_beta.T + bias_beta  # [..., O]
         y = (x * alpha) @ weight.T + beta
@@ -361,6 +380,8 @@ class ModLinear(nn.Module):
                 lambda k, s: jnp.full(s, self.bias_init_val),
                 (self.out_features,),
             )
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
             y = y + bias
         return y
 
@@ -380,22 +401,24 @@ class GaussianAttrMLP(nn.Module):
     n_shared_layers: int
     factors: Mapping[str, float]
     n_layers: Mapping[str, int]
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, pt_feat, onehots, z):
         act = leaky_relu
-        f = TorchDense(self.hidden_dim, name="fc_1")(pt_feat)
+        f = TorchDense(self.hidden_dim, name="fc_1",
+                       dtype=self.dtype)(pt_feat)
         f = f + TorchDense(self.hidden_dim, use_bias=False,
-                           name="fc_m_a")(onehots)
+                           name="fc_m_a", dtype=self.dtype)(onehots)
         f = act(f)
 
         def layer(name):
             if self.z_dim is not None:
                 return lambda x: ModLinear(
                     self.hidden_dim, self.hidden_dim, self.z_dim,
-                    use_bias=False, name=name,
+                    use_bias=False, name=name, dtype=self.dtype,
                 )(x, z)
-            return TorchDense(self.hidden_dim, name=name)
+            return TorchDense(self.hidden_dim, name=name, dtype=self.dtype)
 
         for i in range(2, self.n_shared_layers + 1):
             f = act(layer(f"fc_{i}")(f))
@@ -411,7 +434,10 @@ class GaussianAttrMLP(nn.Module):
                 # rather than chaining (models/generator.py:414).
                 _f = act(fc(_f) if self.z_dim is not None else fc(f))
             out_dim = 1 if k == "opacity" else 3
-            output[k] = TorchDense(out_dim, name=f"fc_out_{k}")(_f)
+            # output heads + squashing in f32: the rasterizer consumes
+            # these directly and position/scale precision matters
+            output[k] = TorchDense(out_dim, name=f"fc_out_{k}")(
+                _f.astype(jnp.float32))
 
         # attribute squashing (reference: models/generator.py:419-428)
         if "xyz" in self.factors:
@@ -448,6 +474,7 @@ class Generator(nn.Module):
                  proj_hf=None, proj_seg=None, point_mask=None):
         cfg = self.cfg
         B, N = rel_xyz.shape[:2]
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         if cfg.encoder == "GLOBAL":
             proj_feat = GlobalEncoder(
@@ -491,10 +518,11 @@ class Generator(nn.Module):
             from gaussiancity_tpu.models.ptv3 import PointTransformerV3
 
             pt_feat2 = PointTransformerV3(cfg.ptv3, in_channels=feat_dim,
-                                          name="pt_net")(
+                                          dtype=dt, name="pt_net")(
                 pt_feat1, rel_xyz, point_mask
             )
-            pt_feat1 = jnp.concatenate([pt_feat1, pt_feat2], axis=-1)
+            pt_feat1 = jnp.concatenate(
+                [pt_feat1.astype(pt_feat2.dtype), pt_feat2], axis=-1)
 
         return GaussianAttrMLP(
             n_classes=self.n_classes,
@@ -504,5 +532,6 @@ class Generator(nn.Module):
             n_shared_layers=cfg.mlp_n_shared_layers,
             factors=dict(cfg.attr_factors),
             n_layers=dict(cfg.attr_n_layers),
+            dtype=dt,
             name="ga_mlp",
         )(pt_feat1, onehots, z)

@@ -56,26 +56,32 @@ class MaskedBatchNorm(nn.Module):
     """
 
     eps: float = 1e-3
+    dtype: Optional[Any] = None  # output/compute dtype; stats always f32
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        m = mask[:, None].astype(x.dtype)
+        x32 = x.astype(jnp.float32)
+        m = mask[:, None].astype(jnp.float32)
         n = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(x * m, axis=0) / n
-        var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        mean = jnp.sum(x32 * m, axis=0) / n
+        var = jnp.sum(((x32 - mean) ** 2) * m, axis=0) / n
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype) if self.dtype is not None else y
 
 
 class LayerNormT(nn.Module):
-    """LayerNorm with torch eps."""
+    """LayerNorm with torch eps (stats in f32, output in ``dtype``)."""
+
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(epsilon=1e-5)(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x.astype(jnp.float32))
+        return y.astype(self.dtype) if self.dtype is not None else y
 
 
 def gelu(x):
@@ -105,6 +111,7 @@ class SubMConv(nn.Module):
     kernel_size: int = 3
     use_bias: bool = True
     depth: int = 10
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, grid_coord, valid):
@@ -134,6 +141,11 @@ class SubMConv(nn.Module):
         )
 
         feat_m = jnp.where(valid[:, None], feat, 0.0)
+        if self.dtype is not None:
+            # bf16 halves the HBM bytes of the 27 neighbor gathers; the
+            # per-offset matmul accumulates into the f32 carry.
+            feat_m = feat_m.astype(self.dtype)
+            W = W.astype(self.dtype)
 
         # checkpoint: recompute the neighbor gather in the backward instead
         # of storing a [N, C] residual per kernel offset
@@ -145,11 +157,14 @@ class SubMConv(nn.Module):
             pos = jnp.clip(pos, 0, N - 1)
             found = (sorted_keys[pos] == nb_key) & valid
             nb_idx = order[pos]
-            nb_feat = feat_m[nb_idx] * found[:, None]
-            return acc + nb_feat @ w, None
+            nb_feat = feat_m[nb_idx] * found[:, None].astype(feat_m.dtype)
+            return acc + jnp.matmul(
+                nb_feat, w, preferred_element_type=jnp.float32), None
 
-        acc0 = jnp.zeros((N, self.features), dtype=feat.dtype)
+        acc0 = jnp.zeros((N, self.features), dtype=jnp.float32)
         out, _ = jax.lax.scan(body, acc0, (offs, W))
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
         if self.use_bias:
             b = self.param(
                 "bias",
@@ -157,7 +172,7 @@ class SubMConv(nn.Module):
                                                 maxval=bound),
                 (self.features,),
             )
-            out = out + b
+            out = out + b.astype(out.dtype)
         return out
 
 
@@ -173,6 +188,7 @@ class PatchAttention(nn.Module):
     channels: int
     num_heads: int
     patch_size: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, order, inverse, count):
@@ -184,7 +200,7 @@ class PatchAttention(nn.Module):
         n_patches = N // K
         assert N % K == 0, "point capacity must be a multiple of patch size"
 
-        qkv = TorchDense(3 * C, name="qkv")(feat)  # [N, 3C]
+        qkv = TorchDense(3 * C, name="qkv", dtype=self.dtype)(feat)  # [N, 3C]
 
         # wrap-around duplication of the last partial patch
         # (models/pt_v3.py:720-731): pad slot j duplicates slot j - K.
@@ -207,9 +223,11 @@ class PatchAttention(nn.Module):
             q = qkv_p[:, 0].transpose(1, 0, 2)  # [H, K, hd]
             kk = qkv_p[:, 1].transpose(1, 0, 2)
             vv = qkv_p[:, 2].transpose(1, 0, 2)
-            attn = jnp.einsum("hkd,hmd->hkm", q * scale, kk)
+            # logits + softmax in f32 regardless of compute dtype
+            attn = jnp.einsum("hkd,hmd->hkm", q * scale, kk,
+                              preferred_element_type=jnp.float32)
             attn = jnp.where(mask_p, attn, -1e9)
-            attn = jax.nn.softmax(attn, axis=-1)
+            attn = jax.nn.softmax(attn, axis=-1).astype(vv.dtype)
             o = jnp.einsum("hkm,hmd->hkd", attn, vv)
             return carry, o.transpose(1, 0, 2).reshape(K, C)
 
@@ -218,7 +236,7 @@ class PatchAttention(nn.Module):
 
         # scatter back to point order
         out = out[inverse]
-        return TorchDense(C, name="proj")(out)
+        return TorchDense(C, name="proj", dtype=self.dtype)(out)
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +252,7 @@ class PTBlock(nn.Module):
     order_index: int
     drop_path: float
     enable_cpe: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, grid_coord, valid, orders_data, count,
@@ -250,24 +269,25 @@ class PTBlock(nn.Module):
 
         if self.enable_cpe:
             shortcut = feat
-            x = SubMConv(self.channels, 3, name="cpe_conv")(
-                feat, grid_coord, valid)
-            x = TorchDense(self.channels, name="cpe_fc")(x)
-            x = LayerNormT(name="cpe_norm")(x)
+            x = SubMConv(self.channels, 3, name="cpe_conv",
+                         dtype=self.dtype)(feat, grid_coord, valid)
+            x = TorchDense(self.channels, name="cpe_fc", dtype=self.dtype)(x)
+            x = LayerNormT(name="cpe_norm", dtype=self.dtype)(x)
             feat = shortcut + x
 
         shortcut = feat
-        x = LayerNormT(name="norm1")(feat)
+        x = LayerNormT(name="norm1", dtype=self.dtype)(feat)
         x = PatchAttention(self.channels, self.num_heads, self.patch_size,
-                           name="attn")(x, order, inverse, count)
+                           name="attn", dtype=self.dtype)(
+            x, order, inverse, count)
         feat = shortcut + dp(x)
 
         shortcut = feat
-        x = LayerNormT(name="norm2")(feat)
+        x = LayerNormT(name="norm2", dtype=self.dtype)(feat)
         hidden = int(self.channels * self.mlp_ratio)
-        x = TorchDense(hidden, name="mlp_fc1")(x)
+        x = TorchDense(hidden, name="mlp_fc1", dtype=self.dtype)(x)
         x = gelu(x)
-        x = TorchDense(self.channels, name="mlp_fc2")(x)
+        x = TorchDense(self.channels, name="mlp_fc2", dtype=self.dtype)(x)
         feat = shortcut + dp(x)
         return feat
 
@@ -311,6 +331,7 @@ class SerializedPooling(nn.Module):
     out_channels: int
     stride: int
     capacity: int = 0  # 0 => keep full N
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, coord, grid_coord, codes, order, valid, count,
@@ -321,7 +342,8 @@ class SerializedPooling(nn.Module):
             pool_clusters(codes, order, valid, self.stride)
         valid_sorted = valid[order[0]]
 
-        x = TorchDense(self.out_channels, name="proj")(feat)
+        x = TorchDense(self.out_channels, name="proj",
+                       dtype=self.dtype)(feat)
         x_sorted = x[order[0]]
         neg = jnp.finfo(x.dtype).min
         x_sorted = jnp.where(valid_sorted[:, None], x_sorted, neg)
@@ -366,7 +388,8 @@ class SerializedPooling(nn.Module):
         new_grid = new_grid[:cap]
         cluster = jnp.minimum(cluster, cap - 1)
 
-        pooled = MaskedBatchNorm(name="norm")(pooled, new_valid, train)
+        pooled = MaskedBatchNorm(name="norm", dtype=self.dtype)(
+            pooled, new_valid, train)
         pooled = gelu(pooled)
         return dict(
             feat=pooled, coord=new_coord, grid_coord=new_grid,
@@ -380,16 +403,20 @@ class SerializedUnpooling(nn.Module):
     (reference: models/pt_v3.py:1066-1101)."""
 
     out_channels: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, child_feat, parent_feat, cluster, parent_valid,
                  child_valid, train: bool):
-        x = TorchDense(self.out_channels, name="proj")(child_feat)
-        x = MaskedBatchNorm(name="proj_norm")(x, child_valid, train)
+        x = TorchDense(self.out_channels, name="proj",
+                       dtype=self.dtype)(child_feat)
+        x = MaskedBatchNorm(name="proj_norm", dtype=self.dtype)(
+            x, child_valid, train)
         x = gelu(x)
-        skip = TorchDense(self.out_channels, name="proj_skip")(parent_feat)
-        skip = MaskedBatchNorm(name="proj_skip_norm")(skip, parent_valid,
-                                                      train)
+        skip = TorchDense(self.out_channels, name="proj_skip",
+                          dtype=self.dtype)(parent_feat)
+        skip = MaskedBatchNorm(name="proj_skip_norm", dtype=self.dtype)(
+            skip, parent_valid, train)
         skip = gelu(skip)
         return skip + x[cluster]
 
@@ -407,6 +434,7 @@ class PTv3Single(nn.Module):
     grid_size: float = 0.01
     serial_depth: int = 10
     drop_path: float = 0.3
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, coord, valid, train: bool = False):
@@ -420,9 +448,10 @@ class PTv3Single(nn.Module):
         count = jnp.sum(valid.astype(jnp.int32))
 
         # stem: SubMConv k5 -> BN -> GELU (models/pt_v3.py:1104-1134)
-        x = SubMConv(cfg.enc_channels[0], 5, name="embedding_stem")(
-            feat, grid_coord, valid)
-        x = MaskedBatchNorm(name="embedding_norm")(x, valid, train)
+        x = SubMConv(cfg.enc_channels[0], 5, name="embedding_stem",
+                     dtype=self.dtype)(feat, grid_coord, valid)
+        x = MaskedBatchNorm(name="embedding_norm",
+                            dtype=self.dtype)(x, valid, train)
         x = gelu(x)
 
         # stochastic-depth schedule (models/pt_v3.py:1226-1229)
@@ -441,7 +470,7 @@ class PTv3Single(nn.Module):
                           min(cfg.enc_patch_size[s], N))
                 pooled = SerializedPooling(
                     cfg.enc_channels[s], cfg.stride[s - 1], cap,
-                    name=f"enc{s}_down",
+                    dtype=self.dtype, name=f"enc{s}_down",
                 )(state["feat"], state["coord"], state["grid_coord"],
                   state["codes"], state["order"], state["valid"],
                   state["count"], self.grid_size, orders, self.serial_depth,
@@ -461,6 +490,7 @@ class PTv3Single(nn.Module):
                     order_index=b % len(orders),
                     drop_path=enc_dp[di],
                     enable_cpe=cfg.enable_cpe,
+                    dtype=self.dtype,
                     name=f"enc{s}_block{b}",
                 )(state["feat"], state["grid_coord"], state["valid"],
                   orders_data, state["count"], train)
@@ -473,7 +503,8 @@ class PTv3Single(nn.Module):
         dec_channels = list(cfg.dec_channels) + [cfg.enc_channels[-1]]
         for s in reversed(range(n_stages - 1)):
             parent_state, cluster = levels[s]
-            up = SerializedUnpooling(dec_channels[s], name=f"dec{s}_up")(
+            up = SerializedUnpooling(dec_channels[s], dtype=self.dtype,
+                                     name=f"dec{s}_up")(
                 state["feat"], parent_state["feat"], cluster,
                 parent_state["valid"], state["valid"], train)
             state = dict(parent_state)
@@ -492,6 +523,7 @@ class PTv3Single(nn.Module):
                     order_index=b % len(orders),
                     drop_path=dp_slice[b],
                     enable_cpe=cfg.enable_cpe,
+                    dtype=self.dtype,
                     name=f"dec{s}_block{b}",
                 )(state["feat"], state["grid_coord"], state["valid"],
                   orders_data, state["count"], train)
@@ -509,6 +541,7 @@ class PointTransformerV3(nn.Module):
     grid_size: float = 0.01
     serial_depth: int = 10
     drop_path: float = 0.3
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, coord, valid=None, train: bool = False):
@@ -524,5 +557,5 @@ class PointTransformerV3(nn.Module):
             split_rngs={"params": False, "droppath": True},
         )(cfg=self.cfg, in_channels=self.in_channels,
           grid_size=self.grid_size, serial_depth=self.serial_depth,
-          drop_path=self.drop_path, name="net")
+          drop_path=self.drop_path, dtype=self.dtype, name="net")
         return inner(feat, coord, valid, train)

@@ -4,8 +4,11 @@
 TPU-native replacement for the reference's ``grid_encoder`` CUDA extension
 (reference: extensions/grid_encoder/grid_encoder_ext.cu:51-249,
 __init__.py:125-193).  The trilinear (2^D-corner) interpolation is a plain
-XLA gather + weighted sum; its backward is XLA's deterministic scatter-add —
-no custom kernel required (SURVEY.md §7).
+XLA gather + weighted sum; the backward is a custom VJP: the embedding
+gradient goes through a sorted one-hot MXU reduction
+(``hash_grid_bwd.py``) instead of XLA's serial scatter-add (which costs
+~730 ms/step at the REST recipe's 8.4M corner updates), and the input
+gradient is the closed-form multilinear chain.
 
 Faithful semantics:
   - inputs in [-bound, bound] are mapped to [0, 1]; out-of-bound points
@@ -24,6 +27,7 @@ Note: the reference's table-size loop uses the *constructor default*
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence, Tuple
 
@@ -31,6 +35,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from gaussiancity_tpu.ops import hash_grid_bwd
 
 # grid_encoder_ext.cu:59-61
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437,
@@ -75,6 +81,78 @@ def _corner_offsets(D: int) -> np.ndarray:
     )
 
 
+def _level_geometry(inputs, in_channels, n_levels, base_resolution,
+                    desired_resolution, log2_hashmap_size, bound):
+    """Per-level indices and per-(corner, dim) interpolation terms.
+
+    Returns (idx [L, 2^D, N] int32 with level offsets applied,
+    frac [L, D, N] f32, oob [N] bool, static (offsets, level_rows, total,
+    scales)).
+    """
+    D = in_channels
+    per_level_scale, offsets, resolutions, hashed, total = level_params(
+        D, n_levels, base_resolution, desired_resolution, log2_hashmap_size
+    )
+    level_rows = [(list(offsets) + [total])[l + 1] - offsets[l]
+                  for l in range(n_levels)]
+    x01 = (inputs + bound) / (2.0 * bound)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
+    S = math.log2(per_level_scale)
+    corners_np = _corner_offsets(D)  # [2^D, D] static 0/1
+    x01_d = [x01[:, d] for d in range(D)]
+
+    idx_lvls, frac_lvls, scales = [], [], []
+    for lvl in range(n_levels):
+        scale = (2.0 ** (lvl * S)) * base_resolution - 1.0
+        scales.append(scale)
+        resolution = resolutions[lvl]
+        hashmap_size = level_rows[lvl]
+        grid_d, frac_d = [], []
+        for d in range(D):
+            pos = x01_d[d] * scale + 0.5  # align_corners=False
+            g = jnp.floor(pos)
+            grid_d.append(g.astype(jnp.int32))
+            frac_d.append(pos - g)
+
+        C2 = 1 << D
+        if hashed[lvl]:
+            idx = jnp.zeros((C2, x01.shape[0]), dtype=jnp.uint32)
+            for d in range(D):
+                bit = jnp.asarray(corners_np[:, d].astype(np.uint32))[:, None]
+                pc = grid_d[d].astype(jnp.uint32)[None, :] + bit
+                idx = idx ^ (pc * jnp.uint32(_PRIMES[d]))
+            idx = (idx % jnp.uint32(hashmap_size)).astype(jnp.int32)
+        else:
+            stride = 1
+            idx = jnp.zeros((C2, x01.shape[0]), dtype=jnp.int32)
+            for d in range(D):
+                bit = jnp.asarray(corners_np[:, d].astype(np.int32))[:, None]
+                pc = grid_d[d][None, :] + bit
+                idx = idx + pc * stride
+                stride *= resolution + 1
+            idx = idx % hashmap_size
+        idx_lvls.append(idx + offsets[lvl])
+        frac_lvls.append(jnp.stack(frac_d))  # [D, N]
+
+    idx_all = jnp.stack(idx_lvls)  # [L, 2^D, N]
+    frac_all = jnp.stack(frac_lvls)  # [L, D, N]
+    return idx_all, frac_all, oob, (tuple(offsets), tuple(level_rows),
+                                    total, tuple(scales))
+
+
+def _corner_weights(frac_all: jnp.ndarray, D: int) -> jnp.ndarray:
+    """[L, D, N] fracs -> [L, 2^D, N] multilinear corner weights."""
+    corners_np = _corner_offsets(D)
+    L, _, N = frac_all.shape
+    w = jnp.ones((L, 1 << D, N), dtype=frac_all.dtype)
+    for d in range(D):
+        f = frac_all[:, None, d, :]  # [L, 1, N]
+        bit = jnp.asarray((corners_np[:, d] == 1))[None, :, None]
+        w = w * jnp.where(bit, f, 1.0 - f)
+    return w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def hash_encode(
     inputs: jnp.ndarray,  # [N, D] in [-bound, bound]
     embeddings: jnp.ndarray,  # [total_rows, C]
@@ -85,62 +163,86 @@ def hash_encode(
     log2_hashmap_size: int,
     bound: float = 1.0,
 ) -> jnp.ndarray:
-    """Returns [N, n_levels * C]. Differentiable w.r.t. embeddings and inputs."""
+    """Returns [N, n_levels * C]. Differentiable w.r.t. embeddings and
+    inputs (custom VJP; see module docstring)."""
+    out, _ = _hash_encode_fwd(
+        inputs, embeddings, in_channels, n_levels, base_resolution,
+        desired_resolution, log2_hashmap_size, bound)
+    return out
+
+
+def _hash_encode_fwd(inputs, embeddings, in_channels, n_levels,
+                     base_resolution, desired_resolution,
+                     log2_hashmap_size, bound):
     D = in_channels
-    per_level_scale, offsets, resolutions, hashed, total = level_params(
-        D, n_levels, base_resolution, desired_resolution, log2_hashmap_size
-    )
-    x01 = (inputs + bound) / (2.0 * bound)
-    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
-    S = math.log2(per_level_scale)
-    corners_np = _corner_offsets(D)  # [2^D, D] static 0/1
+    idx_all, frac_all, oob, static = _level_geometry(
+        inputs, D, n_levels, base_resolution, desired_resolution,
+        log2_hashmap_size, bound)
+    w = _corner_weights(frac_all, D)  # [L, 2^D, N]
+    vals = embeddings[idx_all]  # [L, 2^D, N, C]
+    out = jnp.sum(vals * w[..., None], axis=1)  # [L, N, C]
+    L, N, C = out.shape
+    out = out.transpose(1, 0, 2).reshape(N, L * C)
+    out = jnp.where(oob[:, None], 0.0, out)
+    return out, (idx_all, frac_all, w, vals, oob, embeddings.shape)
 
-    # SoA per-dimension components ([N, 2^D, D]-shaped math would waste
-    # most of every vector register to lane padding).
-    x01_d = [x01[:, d] for d in range(D)]
 
-    outs = []
-    for lvl in range(n_levels):
-        scale = (2.0 ** (lvl * S)) * base_resolution - 1.0
-        resolution = resolutions[lvl]
-        hashmap_size = (list(offsets) + [total])[lvl + 1] - offsets[lvl]
-        grid_d, frac_d = [], []
-        for d in range(D):
-            pos = x01_d[d] * scale + 0.5  # align_corners=False
-            g = jnp.floor(pos)
-            grid_d.append(g.astype(jnp.int32))
-            frac_d.append(pos - g)
+def _hash_encode_bwd(in_channels, n_levels, base_resolution,
+                     desired_resolution, log2_hashmap_size, bound,
+                     res, g):
+    D = in_channels
+    idx_all, frac_all, w, vals, oob, emb_shape = res
+    _, offsets, _, hashed, total = level_params(
+        D, n_levels, base_resolution, desired_resolution, log2_hashmap_size)
+    level_rows = [(list(offsets) + [total])[l + 1] - offsets[l]
+                  for l in range(n_levels)]
+    S = math.log2(desired_resolution / base_resolution) / (n_levels - 1)
+    scales = [(2.0 ** (l * S)) * base_resolution - 1.0
+              for l in range(n_levels)]
+    L = n_levels
+    N = g.shape[0]
+    C = emb_shape[1]
 
-        # per-corner index + weight, [2^D, N] (corners on the major axis)
-        C2 = 1 << D
-        w = jnp.ones((C2, x01.shape[0]), dtype=x01.dtype)
-        if hashed[lvl]:
-            idx = jnp.zeros((C2, x01.shape[0]), dtype=jnp.uint32)
-            for d in range(D):
-                bit = jnp.asarray(corners_np[:, d].astype(np.uint32))[:, None]
-                pc = grid_d[d].astype(jnp.uint32)[None, :] + bit
-                idx = idx ^ (pc * jnp.uint32(_PRIMES[d]))
-                w = w * jnp.where(bit == 0, 1.0 - frac_d[d][None, :],
-                                  frac_d[d][None, :])
-            idx = (idx % jnp.uint32(hashmap_size)).astype(jnp.int32)
-        else:
-            stride = 1
-            idx = jnp.zeros((C2, x01.shape[0]), dtype=jnp.int32)
-            for d in range(D):
-                bit = jnp.asarray(corners_np[:, d].astype(np.int32))[:, None]
-                pc = grid_d[d][None, :] + bit
-                idx = idx + pc * stride
-                stride *= resolution + 1
-                w = w * jnp.where(bit == 0, 1.0 - frac_d[d][None, :],
-                                  frac_d[d][None, :])
-            idx = idx % hashmap_size
-        idx = idx + offsets[lvl]
-        vals = embeddings[idx]  # [2^D, N, C]
-        out = jnp.sum(vals * w[..., None], axis=0)  # [N, C]
-        outs.append(out)
+    gm = jnp.where(oob[:, None], 0.0, g)  # [N, L*C]
+    g_l = gm.reshape(N, L, C).transpose(1, 0, 2)  # [L, N, C]
 
-    out = jnp.concatenate(outs, axis=-1)  # [N, L*C]
-    return jnp.where(oob[:, None], 0.0, out)
+    # d_embeddings: sorted one-hot MXU reduction (TPU) / scatter (CPU)
+    if jax.default_backend() == "tpu":
+        d_emb = hash_grid_bwd.hash_grad_embeddings(
+            idx_all, w, g_l, offsets, level_rows, total)
+    else:
+        d_vals = w[..., None] * g_l[:, None]  # [L, 2^D, N, C]
+        d_emb = jnp.zeros(emb_shape, g.dtype).at[idx_all.reshape(-1)].add(
+            d_vals.reshape(-1, C))
+
+    # d_inputs: closed-form multilinear chain.
+    # dw[l, c, n] = <vals[l, c, n], g_l[l, n]>
+    dw = jnp.einsum("lcnk,lnk->lcn", vals, g_l)
+    corners_np = _corner_offsets(D)
+    # term[l, d, c, n] = bit ? f : 1 - f ; dweight/dfrac_d = sign *
+    # prod_{d' != d} term_{d'}
+    d_x01 = []
+    scales_arr = jnp.asarray(scales, dtype=frac_all.dtype)  # [L]
+    for d in range(D):
+        prod = jnp.ones_like(dw)  # [L, 2^D, N]
+        for d2 in range(D):
+            if d2 == d:
+                continue
+            f = frac_all[:, None, d2, :]
+            bit = jnp.asarray(corners_np[:, d2] == 1)[None, :, None]
+            prod = prod * jnp.where(bit, f, 1.0 - f)
+        sign = jnp.where(jnp.asarray(corners_np[:, d] == 1), 1.0,
+                         -1.0)[None, :, None]
+        dfrac_d = jnp.sum(dw * sign * prod, axis=1)  # [L, N]
+        # pos = x01 * scale + 0.5 -> d x01 = scale * d frac
+        d_x01.append(jnp.sum(dfrac_d * scales_arr[:, None], axis=0))  # [N]
+    d_x01 = jnp.stack(d_x01, axis=-1)  # [N, D]
+    d_inputs = d_x01 / (2.0 * bound)
+    d_inputs = jnp.where(oob[:, None], 0.0, d_inputs)
+    return d_inputs, d_emb
+
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 
 class GridEncoder(nn.Module):

@@ -257,17 +257,27 @@ class Trainer:
                 return jax.lax.pmean(g, axis_name)
             return g
 
+        # ---------------- single render, shared D/G ----------------
+        # The reference renders the fake image twice per step — once
+        # detached for the D update (core/train.py:238-244) and once with
+        # grad for the G update (:274) — only because torch frees the
+        # graph after backward.  G is unchanged between the two, so the
+        # renders are numerically identical: render ONCE via jax.vjp,
+        # feed the stop-gradient value to the D step, and pull the G
+        # cotangent through the saved residuals afterwards.  Saves a full
+        # generator+rasterizer forward per step.
+        fake_imgs, render_vjp, raster_diag = jax.vjp(
+            lambda p: self._render_fake(p, batch, feats),
+            state.g_params, has_aux=True)
+        fake_sg = jax.lax.stop_gradient(fake_imgs)
+        metrics.update(raster_diag)
+
         # ---------------- D step ----------------
         if self.use_disc:
-            fake_imgs, raster_diag = self._render_fake(
-                state.g_params, batch, feats)
-            fake_imgs = jax.lax.stop_gradient(fake_imgs)
-            metrics.update(raster_diag)
-
             def d_loss_fn(d_params, d_stats):
                 vars_in = {"params": d_params, "batch_stats": d_stats}
                 fake_out, vs = self.discriminator.apply(
-                    vars_in, fake_imgs, batch["seg"], batch["msk"],
+                    vars_in, fake_sg, batch["seg"], batch["msk"],
                     mutable=["batch_stats"])
                 vars_in = {"params": d_params,
                            "batch_stats": vs["batch_stats"]}
@@ -295,8 +305,9 @@ class Trainer:
             metrics.update(DisLoss=0.0, GANLossFake=0.0, GANLossReal=0.0)
 
         # ---------------- G step ----------------
-        def g_loss_fn(g_params, d_stats):
-            fake, diag = self._render_fake(g_params, batch, feats)
+        # Loss as a function of the rendered image; the param cotangent is
+        # pulled through the saved render residuals (render_vjp) below.
+        def g_loss_fn(fake, d_stats):
             if self.use_disc:
                 out, vs = self.discriminator.apply(
                     {"params": state.d_params, "batch_stats": d_stats},
@@ -313,13 +324,11 @@ class Trainer:
             loss = (_l1 * cfg.l1_loss_factor
                     + _pl * cfg.perceptual_loss_factor
                     + _gan * cfg.gan_loss_factor)
-            return loss, (_l1, _pl, _gan, d_stats, diag)
+            return loss, (_l1, _pl, _gan, d_stats)
 
-        (loss_g, (_l1, _pl, _gan, d_stats, raster_diag)), g_grads = \
-            jax.value_and_grad(
-                g_loss_fn, has_aux=True)(state.g_params, state.d_stats)
-        if not self.use_disc:
-            metrics.update(raster_diag)
+        (loss_g, (_l1, _pl, _gan, d_stats)), img_grad = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(fake_imgs, state.d_stats)
+        (g_grads,) = render_vjp(img_grad)
         g_grads = psum_grads(g_grads)
         g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
                                             state.g_params)

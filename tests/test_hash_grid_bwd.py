@@ -1,0 +1,140 @@
+# -*- coding: utf-8 -*-
+"""Hash-grid custom VJP: sorted one-hot MXU reduction vs scatter oracle.
+
+The TPU embedding-gradient path (ops/hash_grid_bwd.py) runs here in
+Pallas interpret mode with tiny tiles; the CPU VJP branch (plain
+scatter-add) and the closed-form input gradient are checked against full
+autodiff of the same math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussiancity_tpu.ops import hash_grid_bwd
+from gaussiancity_tpu.ops.hash_grid import (
+    _corner_weights,
+    _level_geometry,
+    hash_encode,
+    level_params,
+)
+
+
+def _setup(D=3, L=4, base=4, desired=32, lg=8, N=201, seed=0):
+    _, offsets, _, hashed, total = level_params(D, L, base, desired, lg)
+    level_rows = [(list(offsets) + [total])[l + 1] - offsets[l]
+                  for l in range(L)]
+    x = jax.random.uniform(jax.random.PRNGKey(seed), (N, D), minval=-0.9,
+                           maxval=0.9)
+    return offsets, level_rows, total, hashed, x
+
+
+class TestHashGradEmbeddings:
+    def _check(self, idx, w, g_l, offsets, level_rows, total):
+        d_emb = hash_grid_bwd.hash_grad_embeddings(
+            idx, w, g_l, offsets, level_rows, total)
+        C = g_l.shape[-1]
+        d_vals = w[..., None] * g_l[:, None]
+        oracle = jnp.zeros((total, C)).at[idx.reshape(-1)].add(
+            d_vals.reshape(-1, C))
+        # the kernel's payload rides through a bf16 hi/lo split (exact
+        # one-hot x ~2^-16-accurate values): loose enough for that,
+        # tight enough to catch any placement/duplicate logic bug
+        np.testing.assert_allclose(np.asarray(d_emb), np.asarray(oracle),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_mixed_dense_hashed_levels(self):
+        D, L, C = 3, 4, 8
+        offsets, level_rows, total, hashed, x = _setup(D=D, L=L)
+        assert (not hashed[0]) and hashed[-1]  # covers both index paths
+        idx, frac, _, _ = _level_geometry(x, D, L, 4, 32, 8, 1.0)
+        w = _corner_weights(frac, D)
+        g_l = jax.random.normal(jax.random.PRNGKey(2), (L, x.shape[0], C))
+        self._check(idx, w, g_l, offsets, level_rows, total)
+
+    def test_skewed_all_points_one_cell(self):
+        # every point in the same cell: one table tile receives ALL
+        # updates — the chunk loop must stream them without truncation
+        D, L, C = 3, 2, 4
+        offsets, level_rows, total, _, _ = _setup(D=D, L=L, N=7)
+        N = 300
+        x = jnp.full((N, D), 0.123)
+        idx, frac, _, _ = _level_geometry(x, D, L, 4, 32, 8, 1.0)
+        w = _corner_weights(frac, D)
+        g_l = jax.random.normal(jax.random.PRNGKey(3), (L, N, C))
+        self._check(idx, w, g_l, offsets, level_rows, total)
+
+    def test_five_dim_hashed(self):
+        D, L, C = 5, 3, 8
+        _, offsets, _, hashed, total = level_params(D, L, 4, 16, 9)
+        level_rows = [(list(offsets) + [total])[l + 1] - offsets[l]
+                      for l in range(L)]
+        assert all(hashed)
+        N = 123
+        x = jax.random.uniform(jax.random.PRNGKey(5), (N, D), minval=-1,
+                               maxval=1)
+        idx, frac, _, _ = _level_geometry(x, D, L, 4, 16, 9, 1.0)
+        w = _corner_weights(frac, D)
+        g_l = jax.random.normal(jax.random.PRNGKey(6), (L, N, C))
+        self._check(idx, w, g_l, offsets, level_rows, total)
+
+
+class TestHashEncodeCustomVJP:
+    def _oracle(self, D, L, base, desired, lg):
+        def fn(xx, ee):
+            idx, frac, oob, _ = _level_geometry(xx, D, L, base, desired,
+                                                lg, 1.0)
+            w = _corner_weights(frac, D)
+            vals = ee[idx]
+            o = jnp.sum(vals * w[..., None], axis=1)
+            o = o.transpose(1, 0, 2).reshape(xx.shape[0], -1)
+            return jnp.where(oob[:, None], 0.0, o)
+        return fn
+
+    @pytest.mark.parametrize("D", [2, 5])
+    def test_grads_match_autodiff(self, D):
+        L, C, base, desired, lg = 4, 8, 4, 32, 10
+        _, _, _, _, total = level_params(D, L, base, desired, lg)
+        N = 257
+        x = jax.random.uniform(jax.random.PRNGKey(0), (N, D), minval=-0.95,
+                               maxval=0.95)
+        x = x.at[0].set(jnp.full((D,), 1.5))  # oob row
+        emb = jax.random.normal(jax.random.PRNGKey(1), (total, C)) * 0.1
+        g = jax.random.normal(jax.random.PRNGKey(3), (N, L * C))
+        oracle = self._oracle(D, L, base, desired, lg)
+
+        out = hash_encode(x, emb, D, L, base, desired, lg)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(oracle(x, emb)),
+                                   rtol=1e-6, atol=1e-6)
+        assert float(jnp.abs(out[0]).max()) == 0.0  # oob -> 0
+
+        gx, ge = jax.grad(
+            lambda xx, ee: jnp.sum(
+                hash_encode(xx, ee, D, L, base, desired, lg) * g),
+            argnums=(0, 1))(x, emb)
+        gxo, geo = jax.grad(
+            lambda xx, ee: jnp.sum(oracle(xx, ee) * g), argnums=(0, 1))(
+            x, emb)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(geo),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gxo),
+                                   rtol=1e-4, atol=2e-5)
+        # oob points receive zero input grad
+        np.testing.assert_allclose(np.asarray(gx[0]), 0.0)
+
+    def test_jit_and_value_and_grad(self):
+        D, L, C, base, desired, lg = 3, 2, 4, 4, 16, 8
+        _, _, _, _, total = level_params(D, L, base, desired, lg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (64, D), minval=-1,
+                               maxval=1)
+        emb = jax.random.normal(jax.random.PRNGKey(1), (total, C)) * 0.1
+
+        @jax.jit
+        def loss(xx, ee):
+            return jnp.sum(hash_encode(xx, ee, D, L, base, desired, lg) ** 2)
+
+        v, g = jax.value_and_grad(loss, argnums=1)(x, emb)
+        assert np.isfinite(float(v))
+        assert float(jnp.abs(g).sum()) > 0

@@ -233,3 +233,101 @@ class TestSmoothness:
         # identical inputs -> zero; differing curvature -> positive
         assert float(smoothness_loss(x, x)) == 0.0
         assert float(smoothness_loss(x, y)) > 0.0
+
+
+class TestBfloat16Compute:
+    """bf16 compute path: params stay f32, outputs stay f32, values track
+    the f32 path within bf16 tolerance, grads flow and are finite."""
+
+    def _bldg_ptv3_cfg(self):
+        # 2-stage PTv3 (one pool/unpool level) — exercises every bf16
+        # code path (attention, CPE conv, norms, pooling) at a fraction
+        # of the 3-stage compile time.
+        from gaussiancity_tpu.config import PTv3Config
+
+        ptv3 = PTv3Config(
+            order=("cord",),
+            stride=(2,),
+            enc_depths=(1, 1),
+            enc_channels=(8, 16),
+            enc_n_head=(1, 2),
+            enc_patch_size=(16, 16),
+            dec_depths=(1,),
+            dec_channels=(8,),
+            dec_n_head=(1,),
+            dec_patch_size=(16,),
+            mlp_ratio=2.0,
+        )
+        return GaussianNetworkConfig(
+            scale_factor=0.65, encoder=None, encoder_out_dim=3,
+            pos_emd="SIN_COS", sin_cos_freq_bends=4, z_dim=32,
+            mlp_hidden_dim=64, ptv3=ptv3,
+        )
+
+    def test_bldg_ptv3_bf16_matches_f32(self):
+        cfg32 = self._bldg_ptv3_cfg()
+        cfg16 = cfg32.replace(compute_dtype="bfloat16")
+        B, N, n_classes = 1, 64, 8
+        rng = jax.random.PRNGKey(0)
+        rel_xyz = jax.random.uniform(rng, (B, N, 3), minval=-1, maxval=1)
+        onehots = helpers.get_one_hot(
+            jnp.full((B, N), 2, dtype=jnp.int32), n_classes)
+        instances = jnp.full((B, N), 100)
+        z = helpers.get_z(jax.random.PRNGKey(7), instances, cfg32.z_dim)
+        mask = jnp.arange(N)[None] < (N - 5)
+
+        gen32 = Generator(cfg=cfg32, n_classes=n_classes, proj_size=32)
+        gen16 = Generator(cfg=cfg16, n_classes=n_classes, proj_size=32)
+        params = gen32.init(rng, None, rel_xyz, None, onehots, z, None,
+                            None, mask)
+        # same param tree is valid for both (dtype changes no shapes)
+        out32 = gen32.apply(params, None, rel_xyz, None, onehots, z, None,
+                            None, mask)
+        out16 = gen16.apply(params, None, rel_xyz, None, onehots, z, None,
+                            None, mask)
+        for k in out32:
+            assert out16[k].dtype == jnp.float32, k  # outputs stay f32
+            np.testing.assert_allclose(
+                np.asarray(out32[k]), np.asarray(out16[k]), atol=0.08,
+                err_msg=k)
+
+        # params untouched by dtype: all f32
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert leaf.dtype == jnp.float32
+
+        def loss(p):
+            out = gen16.apply(p, None, rel_xyz, None, onehots, z, None,
+                              None, mask)
+            return sum(jnp.sum(v ** 2) for v in out.values())
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+        # grads are f32 and reach the deepest PTv3 params
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert np.isfinite(total) and total > 0.0
+        for leaf in leaves:
+            assert leaf.dtype == jnp.float32
+
+    def test_rest_hashgrid_bf16_matches_f32(self):
+        cfg32 = rest_net_cfg()
+        cfg16 = cfg32.replace(compute_dtype="bfloat16")
+        B, N, n_classes, P = 1, 64, 8, 32
+        rng = jax.random.PRNGKey(0)
+        proj_uv = jax.random.uniform(rng, (B, N, 2), minval=-1, maxval=1)
+        rel_xyz = jax.random.uniform(rng, (B, N, 3), minval=-1, maxval=1)
+        onehots = helpers.get_one_hot(
+            jnp.zeros((B, N), dtype=jnp.int32), n_classes)
+        proj_hf = jnp.zeros((B, P, P, 1))
+        proj_seg = jnp.zeros((B, P, P, n_classes))
+        gen32 = Generator(cfg=cfg32, n_classes=n_classes, proj_size=P)
+        gen16 = Generator(cfg=cfg16, n_classes=n_classes, proj_size=P)
+        params = gen32.init(rng, proj_uv, rel_xyz, None, onehots, None,
+                            proj_hf, proj_seg)
+        out32 = gen32.apply(params, proj_uv, rel_xyz, None, onehots, None,
+                            proj_hf, proj_seg)
+        out16 = gen16.apply(params, proj_uv, rel_xyz, None, onehots, None,
+                            proj_hf, proj_seg)
+        assert out16["rgb"].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out32["rgb"]),
+                                   np.asarray(out16["rgb"]), atol=0.08)
