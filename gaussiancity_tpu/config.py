@@ -296,6 +296,20 @@ class ParallelConfig(_Base):
 
 
 # ---------------------------------------------------------------------------
+# IO byte-cache (reference: config.py MEMCACHED block + utils/io.py:26-35,
+# there the closed SenseTime `mc` client; here stock memcached — see
+# data/memcache.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MemcachedConfig(_Base):
+    enabled: bool = False
+    servers: Tuple[str, ...] = ("127.0.0.1:11211",)  # "host:port"
+    timeout_s: float = 2.0
+
+
+# ---------------------------------------------------------------------------
 # Root config
 # ---------------------------------------------------------------------------
 
@@ -309,6 +323,7 @@ class Config(_Base):
     train: TrainConfig = field(default_factory=TrainConfig)
     test: TestConfig = field(default_factory=TestConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    memcached: MemcachedConfig = field(default_factory=MemcachedConfig)
     output_dir: str = "./output"
     n_workers: int = 8
 

@@ -275,6 +275,12 @@ def get_dataset(cfg: Config, name: str, split: str) -> Dataset:
     """(reference: utils/datasets.py:22-28)"""
     if name not in DATASETS:
         raise ValueError(f"Unknown dataset: {name}")
+    mc = getattr(cfg, "memcached", None)
+    if mc is not None and mc.enabled and IO._cache is None:
+        from gaussiancity_tpu.data.memcache import MemcachedClient
+
+        IO.configure_cache(
+            MemcachedClient(mc.servers, timeout=mc.timeout_s))
     return DATASETS[name](cfg, split)
 
 
