@@ -17,9 +17,9 @@ Reimplemented in this repo's idiom: connected components via
 scipy.ndimage, the point-stride mask as one vectorized modulo test, the
 .esp attribute tree walked by a generic finder, and the cross-city
 building-instance registry as an explicit object instead of function
-statics.  KITTI-360's ingestion (lxml 3D-bbox annotations -> open3d
-voxelization, reference :389-440) requires open3d, which this
-environment does not provide — out of scope, documented in COMPONENTS.md.
+statics.  KITTI-360's ingestion (3D-bbox annotations -> surface
+voxelization, reference :389-440) lives in ``data/kitti_ingest.py``
+with an own SAT voxelizer replacing open3d.
 """
 
 from __future__ import annotations
