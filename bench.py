@@ -157,7 +157,7 @@ def bench_inference_frame(jax, jnp):
     gen = Generator(cfg=cfg.network, n_classes=cfg.dataset.n_classes,
                     proj_size=P)
     rngk = jax.random.PRNGKey(0)
-    params = gen.init(
+    params = jax.jit(gen.init)(
         rngk, jnp.zeros((1, n, 2)), jnp.zeros((1, n, 3)), None,
         jnp.zeros((1, n, cfg.dataset.n_classes)), None,
         jnp.zeros((1, P, P, 1)),

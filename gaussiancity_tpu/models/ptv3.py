@@ -102,10 +102,46 @@ def voxel_keys(grid_coord: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(valid, key, ser.INVALID_CODE)
 
 
+def subm_neighbors(grid_coord, valid, kernel_size: int, depth: int = 10):
+    """Precompute submanifold-conv neighbor indices for one voxel grid.
+
+    One argsort of the voxel keys + one searchsorted per kernel offset,
+    shared by every SubMConv on the same (grid_coord, valid) — each PTv3
+    stage computes this once instead of once per block, and the integer
+    index math stays outside the blocks' remat regions (it has no grads
+    to recompute).
+
+    Returns (nb_idx [K^3, N] int32, found [K^3, N] bool).
+    """
+    N = grid_coord.shape[0]
+    r = kernel_size // 2
+    M = 1 << depth
+    keys = voxel_keys(grid_coord, valid, depth)
+    order = jnp.argsort(keys)
+    sorted_keys = keys[order]
+    offs = jnp.asarray(
+        [dx * M * M + dy * M + dz
+         for dx in range(-r, r + 1)
+         for dy in range(-r, r + 1)
+         for dz in range(-r, r + 1)], dtype=jnp.int32)
+
+    def per_off(off):
+        nb_key = keys + off
+        pos = jnp.clip(jnp.searchsorted(sorted_keys, nb_key), 0, N - 1)
+        found = (sorted_keys[pos] == nb_key) & valid
+        return order[pos], found
+
+    nb_idx, found = jax.vmap(per_off)(offs)
+    return nb_idx, found
+
+
 class SubMConv(nn.Module):
     """Submanifold sparse conv: output only at active sites, gathering
     features of occupied neighbor voxels (replaces spconv.SubMConv3d;
-    reference: models/pt_v3.py:854-861)."""
+    reference: models/pt_v3.py:854-861).
+
+    Pass precomputed ``neighbors`` (from :func:`subm_neighbors`) to share
+    the sort/search across blocks of a stage."""
 
     features: int
     kernel_size: int = 3
@@ -114,23 +150,14 @@ class SubMConv(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, feat, grid_coord, valid):
+    def __call__(self, feat, grid_coord, valid, neighbors=None):
         N, C = feat.shape
-        K = self.kernel_size
-        r = K // 2
-        M = 1 << self.depth
+        n_offs = self.kernel_size ** 3
 
-        keys = voxel_keys(grid_coord, valid, self.depth)
-        order = jnp.argsort(keys)
-        sorted_keys = keys[order]
-
-        offs = []
-        for dx in range(-r, r + 1):
-            for dy in range(-r, r + 1):
-                for dz in range(-r, r + 1):
-                    offs.append(dx * M * M + dy * M + dz)
-        n_offs = len(offs)
-        offs = jnp.asarray(offs, dtype=jnp.int32)
+        if neighbors is None:
+            neighbors = subm_neighbors(grid_coord, valid, self.kernel_size,
+                                       self.depth)
+        nb_idx, found = neighbors
 
         fan_in = C * n_offs
         bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
@@ -142,7 +169,7 @@ class SubMConv(nn.Module):
 
         feat_m = jnp.where(valid[:, None], feat, 0.0)
         if self.dtype is not None:
-            # bf16 halves the HBM bytes of the 27 neighbor gathers; the
+            # bf16 halves the HBM bytes of the neighbor gathers; the
             # per-offset matmul accumulates into the f32 carry.
             feat_m = feat_m.astype(self.dtype)
             W = W.astype(self.dtype)
@@ -151,18 +178,13 @@ class SubMConv(nn.Module):
         # of storing a [N, C] residual per kernel offset
         @jax.checkpoint
         def body(acc, xs):
-            off, w = xs
-            nb_key = keys + off
-            pos = jnp.searchsorted(sorted_keys, nb_key)
-            pos = jnp.clip(pos, 0, N - 1)
-            found = (sorted_keys[pos] == nb_key) & valid
-            nb_idx = order[pos]
-            nb_feat = feat_m[nb_idx] * found[:, None].astype(feat_m.dtype)
+            idx_k, found_k, w = xs
+            nb_feat = feat_m[idx_k] * found_k[:, None].astype(feat_m.dtype)
             return acc + jnp.matmul(
                 nb_feat, w, preferred_element_type=jnp.float32), None
 
         acc0 = jnp.zeros((N, self.features), dtype=jnp.float32)
-        out, _ = jax.lax.scan(body, acc0, (offs, W))
+        out, _ = jax.lax.scan(body, acc0, (nb_idx, found, W))
         if self.dtype is not None:
             out = out.astype(self.dtype)
         if self.use_bias:
@@ -213,25 +235,39 @@ class PatchAttention(nn.Module):
         qkv_s = qkv[src].reshape(n_patches, K, 3, H, hd)
         kmask = key_valid.reshape(n_patches, 1, 1, K)
 
-        # One patch at a time (lax.scan) with rematerialization: the
-        # [H, K, K] attention matrix lives only transiently per patch —
-        # at the reference's K=1024, H=32 a batched [P, H, K, K] would be
-        # gigabytes.  The scan body recomputes it in the backward.
+        # Patches are batched into one einsum (a serial per-patch scan
+        # starves the MXU: dozens of tiny [H,K,hd] matmuls with layout
+        # churn measured ~60x slower than one batched contraction).  The
+        # [G, H, K, K] logits are bounded by a byte budget: at training
+        # sizes one group covers all patches; at huge inference point
+        # counts the scan chunks them.  jax.checkpoint recomputes the
+        # logits in the backward either way, so the budget also caps the
+        # residual footprint.
+        max_bytes = 256 * 1024 * 1024
+        group = max(1, min(n_patches, max_bytes // (4 * H * K * K)))
+        while n_patches % group:
+            group -= 1
+        qkv_g = qkv_s.reshape(n_patches // group, group, K, 3, H, hd)
+        kmask_g = kmask.reshape(n_patches // group, group, 1, 1, K)
+
         @jax.checkpoint
-        def per_patch(carry, xs):
-            qkv_p, mask_p = xs  # [K, 3, H, hd], [1, 1, K]
-            q = qkv_p[:, 0].transpose(1, 0, 2)  # [H, K, hd]
-            kk = qkv_p[:, 1].transpose(1, 0, 2)
-            vv = qkv_p[:, 2].transpose(1, 0, 2)
+        def per_group(carry, xs):
+            qkv_p, mask_p = xs  # [G, K, 3, H, hd], [G, 1, 1, K]
+            q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)  # [G, H, K, hd]
+            kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
+            vv = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
             # logits + softmax in f32 regardless of compute dtype
-            attn = jnp.einsum("hkd,hmd->hkm", q * scale, kk,
+            attn = jnp.einsum("ghkd,ghmd->ghkm", q * scale, kk,
                               preferred_element_type=jnp.float32)
             attn = jnp.where(mask_p, attn, -1e9)
             attn = jax.nn.softmax(attn, axis=-1).astype(vv.dtype)
-            o = jnp.einsum("hkm,hmd->hkd", attn, vv)
-            return carry, o.transpose(1, 0, 2).reshape(K, C)
+            o = jnp.einsum("ghkm,ghmd->ghkd", attn, vv)
+            return carry, o.transpose(0, 2, 1, 3).reshape(group * K, C)
 
-        _, out = jax.lax.scan(per_patch, 0, (qkv_s, kmask))
+        if n_patches == group:
+            _, out = per_group(0, (qkv_g[0], kmask_g[0]))
+        else:
+            _, out = jax.lax.scan(per_group, 0, (qkv_g, kmask_g))
         out = out.reshape(N, C)
 
         # scatter back to point order
@@ -256,7 +292,7 @@ class PTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feat, grid_coord, valid, orders_data, count,
-                 train: bool):
+                 train: bool, neighbors=None):
         order, inverse = orders_data[self.order_index]
 
         def dp(x):
@@ -270,7 +306,8 @@ class PTBlock(nn.Module):
         if self.enable_cpe:
             shortcut = feat
             x = SubMConv(self.channels, 3, name="cpe_conv",
-                         dtype=self.dtype)(feat, grid_coord, valid)
+                         dtype=self.dtype)(feat, grid_coord, valid,
+                                           neighbors)
             x = TorchDense(self.channels, name="cpe_fc", dtype=self.dtype)(x)
             x = LayerNormT(name="cpe_norm", dtype=self.dtype)(x)
             feat = shortcut + x
@@ -462,6 +499,11 @@ class PTv3Single(nn.Module):
         levels = []  # saved (feat, state) per stage for the decoder
         state = dict(feat=x, coord=coord, grid_coord=grid_coord, codes=codes,
                      order=order, inverse=inverse, valid=valid, count=count)
+        # CPE neighbor indices: one sort+search per stage, shared by every
+        # block of the stage (and by the mirror decoder stage below)
+        if cfg.enable_cpe:
+            state["nbrs"] = subm_neighbors(grid_coord, valid, 3,
+                                           self.serial_depth)
 
         di = 0
         for s in range(n_stages):
@@ -478,6 +520,10 @@ class PTv3Single(nn.Module):
                 cluster = pooled.pop("cluster")
                 levels.append((state, cluster))
                 state = pooled
+                if cfg.enable_cpe:
+                    state["nbrs"] = subm_neighbors(
+                        state["grid_coord"], state["valid"], 3,
+                        self.serial_depth)
             orders_data = [(state["order"][i], state["inverse"][i])
                            for i in range(len(orders))]
             for b in range(cfg.enc_depths[s]):
@@ -493,7 +539,8 @@ class PTv3Single(nn.Module):
                     dtype=self.dtype,
                     name=f"enc{s}_block{b}",
                 )(state["feat"], state["grid_coord"], state["valid"],
-                  orders_data, state["count"], train)
+                  orders_data, state["count"], train,
+                  neighbors=state.get("nbrs"))
                 di += 1
 
         # decoder
@@ -526,7 +573,8 @@ class PTv3Single(nn.Module):
                     dtype=self.dtype,
                     name=f"dec{s}_block{b}",
                 )(state["feat"], state["grid_coord"], state["valid"],
-                  orders_data, state["count"], train)
+                  orders_data, state["count"], train,
+                  neighbors=state.get("nbrs"))
 
         return state["feat"]
 

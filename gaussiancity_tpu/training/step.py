@@ -136,14 +136,17 @@ class Trainer:
     def init_state(self, rng, batch: Dict[str, jnp.ndarray]) -> TrainState:
         rg, rd, rp, rz = jax.random.split(rng, 4)
         feats = self._point_features(batch, rz)
-        g_vars = self.generator.init(
+        # flax .init dispatches op-by-op when unjitted — over a remote
+        # device link that is ~1 s/op (a 47M-param init took ~8 min);
+        # jit compiles the whole init into one executable
+        g_vars = jax.jit(self.generator.init)(
             rg, feats["proj_uv"], feats["rel_xyz"], None, feats["onehots"],
             feats["z"], batch.get("proj_hf"), batch.get("proj_seg"),
             feats["pts_mask"],
         )
         g_params = g_vars["params"]
         if self.use_disc:
-            d_vars = self.discriminator.init(
+            d_vars = jax.jit(self.discriminator.init)(
                 rd, batch["rgb"], batch["seg"], batch["msk"])
             d_params = d_vars["params"]
             d_stats = d_vars.get("batch_stats", {})
