@@ -634,6 +634,54 @@ def merge_projections(metadata: Dict[str, dict],
     return meta, merged
 
 
+def reorganize_kitti_360(data_dir: str) -> str:
+    """Reshape a raw KITTI-360 download into per-city capture dirs
+    (reference :121-171): ``processed/<drive>/footage`` gets the rectified
+    cam-0 frames that have both a semantic map and a pose; the filtered
+    ``cam0_to_world.txt`` and ``perspective.txt`` are copied alongside.
+    Idempotent via a DONE marker."""
+    import shutil
+
+    out_root = os.path.join(data_dir, "processed")
+    if os.path.exists(os.path.join(out_root, "DONE")):
+        return out_root
+    os.makedirs(out_root, exist_ok=True)
+    for city in sorted(os.listdir(os.path.join(data_dir, "data_2d_raw"))):
+        rgb_dir = os.path.join(data_dir, "data_2d_raw", city, "image_00",
+                               "data_rect")
+        seg_dir = os.path.join(data_dir, "data_2d_semantics", "train",
+                               city, "image_00", "semantic")
+        pose_path = os.path.join(data_dir, "data_poses", city,
+                                 "cam0_to_world.txt")
+        if not (os.path.isdir(rgb_dir) and os.path.isdir(seg_dir)
+                and os.path.exists(pose_path)):
+            logging.warning("Skipping %s: incomplete raw data", city)
+            continue
+        rgb = set(os.listdir(rgb_dir))
+        seg = set(os.listdir(seg_dir))
+        city_out = os.path.join(out_root, city)
+        os.makedirs(os.path.join(city_out, "footage"), exist_ok=True)
+        os.makedirs(os.path.join(city_out, "seg"), exist_ok=True)
+        kept = []
+        with open(pose_path) as fp:
+            for line in fp.read().splitlines():
+                frame = "%010d.png" % int(float(line.split(" ", 1)[0]))
+                if frame not in rgb or frame not in seg:
+                    continue
+                kept.append(line)
+                shutil.copy(os.path.join(rgb_dir, frame),
+                            os.path.join(city_out, "footage", frame))
+                shutil.copy(os.path.join(seg_dir, frame),
+                            os.path.join(city_out, "seg", frame))
+        with open(os.path.join(city_out, "cam0_to_world.txt"), "w") as fp:
+            fp.write("\n".join(kept))
+        # camera recovery finds <root>/calibration/perspective.txt two
+        # levels above processed/<drive>, i.e. the raw download's own copy
+    with open(os.path.join(out_root, "DONE"), "w") as fp:
+        fp.write("")
+    return out_root
+
+
 def get_projections(dataset: str, city_dir: str,
                     osm_dir: Optional[str] = None
                     ) -> Tuple[dict, Dict[str, Dict[str, np.ndarray]]]:
