@@ -50,13 +50,18 @@ def load_generator(ckpt_dir: str, epoch: Optional[int] = None
     mngr.close()
     cfg = Config.from_dict(restored["meta"]["cfg"])
     state = restored["state"]
-    g_params = state["g_params"]
+    # Full variable dict: params + the BN running averages the eval path
+    # normalizes with (torch eval semantics; see models/ptv3.py
+    # MaskedBatchNorm).
+    g_vars = {"params": state["g_params"]}
+    if state.get("g_stats"):
+        g_vars["batch_stats"] = state["g_stats"]
     z_bank = state.get("z_bank")
     module = Generator(cfg=cfg.network, n_classes=cfg.dataset.n_classes,
                        proj_size=cfg.dataset.proj_size)
     logging.info("restored %s (epoch %s): %d param arrays", ckpt_dir, step,
-                 len(jax_leaves(g_params)))
-    return cfg, module, g_params, z_bank
+                 len(jax_leaves(g_vars["params"])))
+    return cfg, module, g_vars, z_bank
 
 
 def jax_leaves(tree):

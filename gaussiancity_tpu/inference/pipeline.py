@@ -237,10 +237,13 @@ class InferencePipeline:
         any_model = False
         for name, (module, _) in self.models.items():
             params = params_map[name]
+            # either a raw params tree or a full variable dict carrying
+            # batch_stats (BN running averages) from the checkpoint
+            vars_in = params if "params" in params else {"params": params}
             m = masks[name]
             z_in = z_pts if module.cfg.z_dim is not None else None
             out = module.apply(
-                {"params": params}, proj_uv, rel_xyz, None, onehots, z_in,
+                vars_in, proj_uv, rel_xyz, None, onehots, z_in,
                 proj_hf[None], proj_seg[None], pts_mask[None])
             for k, v in out.items():
                 prev = attrs_acc.get(k)

@@ -471,7 +471,8 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, proj_uv, rel_xyz, batch_idx, onehots, z,
-                 proj_hf=None, proj_seg=None, point_mask=None):
+                 proj_hf=None, proj_seg=None, point_mask=None,
+                 train: bool = False):
         cfg = self.cfg
         B, N = rel_xyz.shape[:2]
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
@@ -519,7 +520,7 @@ class Generator(nn.Module):
 
             pt_feat2 = PointTransformerV3(cfg.ptv3, in_channels=feat_dim,
                                           dtype=dt, name="pt_net")(
-                pt_feat1, rel_xyz, point_mask
+                pt_feat1, rel_xyz, point_mask, train
             )
             pt_feat1 = jnp.concatenate(
                 [pt_feat1.astype(pt_feat2.dtype), pt_feat2], axis=-1)

@@ -46,28 +46,58 @@ from gaussiancity_tpu.ops import serialization as ser
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm1d over valid points (torch eps 1e-3).
+    """BatchNorm1d over valid points (torch eps 1e-3, momentum 0.01 —
+    reference: models/pt_v3.py:1201).
 
-    Normalizes with the per-sample masked batch statistics in BOTH train
-    and eval.  The reference trains with batch size 1/GPU
-    (core/train.py:46), where torch's train-mode BN is exactly these
-    per-sample stats; we deliberately drop the running-average eval path
-    (it would require cross-vmap state reduction) — documented deviation.
+    Train: normalize with the masked batch statistics over every valid
+    point of the whole batch — ``axis_name`` reduces across the lifting
+    ``nn.vmap``'s batch axis, so the stats match torch's BatchNorm1d over
+    the reference's concatenated ragged point list for any batch size —
+    and fold them into running averages with torch semantics
+    (new = (1-momentum)*old + momentum*batch, running var unbiased).
+    Eval: normalize with the running averages (torch eval path).
+
+    The running stats live in the "batch_stats" collection; the update is
+    computed purely from axis-reduced (unbatched) quantities, so the
+    collection stays broadcast (variable_axes None) under ``nn.vmap``.
     """
 
     eps: float = 1e-3
+    momentum: float = 0.01
     dtype: Optional[Any] = None  # output/compute dtype; stats always f32
+    axis_name: Optional[str] = None  # vmap batch axis to reduce stats over
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
         x32 = x.astype(jnp.float32)
         m = mask[:, None].astype(jnp.float32)
-        n = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(x32 * m, axis=0) / n
-        var = jnp.sum(((x32 - mean) ** 2) * m, axis=0) / n
+        if train or self.is_initializing():
+            n = jnp.sum(m)
+            s = jnp.sum(x32 * m, axis=0)
+            if self.axis_name is not None:
+                n = jax.lax.psum(n, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s / n
+            vs = jnp.sum(((x32 - mean) ** 2) * m, axis=0)
+            if self.axis_name is not None:
+                vs = jax.lax.psum(vs, self.axis_name)
+            var = vs / n
+            if not self.is_initializing():
+                mom = self.momentum
+                uvar = vs / jnp.maximum(n - 1.0, 1.0)  # torch: unbiased
+                ra_mean.value = (1.0 - mom) * ra_mean.value + mom * mean
+                ra_var.value = (1.0 - mom) * ra_var.value + mom * uvar
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         return y.astype(self.dtype) if self.dtype is not None else y
@@ -369,6 +399,7 @@ class SerializedPooling(nn.Module):
     stride: int
     capacity: int = 0  # 0 => keep full N
     dtype: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, feat, coord, grid_coord, codes, order, valid, count,
@@ -425,7 +456,8 @@ class SerializedPooling(nn.Module):
         new_grid = new_grid[:cap]
         cluster = jnp.minimum(cluster, cap - 1)
 
-        pooled = MaskedBatchNorm(name="norm", dtype=self.dtype)(
+        pooled = MaskedBatchNorm(name="norm", dtype=self.dtype,
+                                 axis_name=self.axis_name)(
             pooled, new_valid, train)
         pooled = gelu(pooled)
         return dict(
@@ -441,18 +473,21 @@ class SerializedUnpooling(nn.Module):
 
     out_channels: int
     dtype: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, child_feat, parent_feat, cluster, parent_valid,
                  child_valid, train: bool):
         x = TorchDense(self.out_channels, name="proj",
                        dtype=self.dtype)(child_feat)
-        x = MaskedBatchNorm(name="proj_norm", dtype=self.dtype)(
+        x = MaskedBatchNorm(name="proj_norm", dtype=self.dtype,
+                            axis_name=self.axis_name)(
             x, child_valid, train)
         x = gelu(x)
         skip = TorchDense(self.out_channels, name="proj_skip",
                           dtype=self.dtype)(parent_feat)
-        skip = MaskedBatchNorm(name="proj_skip_norm", dtype=self.dtype)(
+        skip = MaskedBatchNorm(name="proj_skip_norm", dtype=self.dtype,
+                               axis_name=self.axis_name)(
             skip, parent_valid, train)
         skip = gelu(skip)
         return skip + x[cluster]
@@ -472,6 +507,7 @@ class PTv3Single(nn.Module):
     serial_depth: int = 10
     drop_path: float = 0.3
     dtype: Optional[Any] = None
+    axis_name: Optional[str] = None  # batch axis for cross-sample BN stats
 
     @nn.compact
     def __call__(self, feat, coord, valid, train: bool = False):
@@ -487,8 +523,8 @@ class PTv3Single(nn.Module):
         # stem: SubMConv k5 -> BN -> GELU (models/pt_v3.py:1104-1134)
         x = SubMConv(cfg.enc_channels[0], 5, name="embedding_stem",
                      dtype=self.dtype)(feat, grid_coord, valid)
-        x = MaskedBatchNorm(name="embedding_norm",
-                            dtype=self.dtype)(x, valid, train)
+        x = MaskedBatchNorm(name="embedding_norm", dtype=self.dtype,
+                            axis_name=self.axis_name)(x, valid, train)
         x = gelu(x)
 
         # stochastic-depth schedule (models/pt_v3.py:1226-1229)
@@ -512,7 +548,8 @@ class PTv3Single(nn.Module):
                           min(cfg.enc_patch_size[s], N))
                 pooled = SerializedPooling(
                     cfg.enc_channels[s], cfg.stride[s - 1], cap,
-                    dtype=self.dtype, name=f"enc{s}_down",
+                    dtype=self.dtype, axis_name=self.axis_name,
+                    name=f"enc{s}_down",
                 )(state["feat"], state["coord"], state["grid_coord"],
                   state["codes"], state["order"], state["valid"],
                   state["count"], self.grid_size, orders, self.serial_depth,
@@ -551,6 +588,7 @@ class PTv3Single(nn.Module):
         for s in reversed(range(n_stages - 1)):
             parent_state, cluster = levels[s]
             up = SerializedUnpooling(dec_channels[s], dtype=self.dtype,
+                                     axis_name=self.axis_name,
                                      name=f"dec{s}_up")(
                 state["feat"], parent_state["feat"], cluster,
                 parent_state["valid"], state["valid"], train)
@@ -603,7 +641,9 @@ class PointTransformerV3(nn.Module):
             variable_axes={"params": None, "batch_stats": None,
                            "intermediates": 0},
             split_rngs={"params": False, "droppath": True},
+            axis_name="ptv3_batch",
         )(cfg=self.cfg, in_channels=self.in_channels,
           grid_size=self.grid_size, serial_depth=self.serial_depth,
-          drop_path=self.drop_path, dtype=self.dtype, name="net")
+          drop_path=self.drop_path, dtype=self.dtype,
+          axis_name="ptv3_batch", name="net")
         return inner(feat, coord, valid, train)

@@ -58,6 +58,7 @@ from gaussiancity_tpu.utils import helpers
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     g_params: Any
+    g_stats: Any  # generator batch_stats (PTv3 BN running averages)
     g_opt: Any
     d_params: Optional[Any]
     d_stats: Optional[Any]
@@ -145,6 +146,7 @@ class Trainer:
             feats["pts_mask"],
         )
         g_params = g_vars["params"]
+        g_stats = g_vars.get("batch_stats", {})
         if self.use_disc:
             d_vars = jax.jit(self.discriminator.init)(
                 rd, batch["rgb"], batch["seg"], batch["msk"])
@@ -156,6 +158,7 @@ class Trainer:
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             g_params=g_params,
+            g_stats=g_stats,
             g_opt=self.g_tx.init(g_params),
             d_params=d_params,
             d_stats=d_stats,
@@ -192,18 +195,34 @@ class Trainer:
             pts_mask=batch.get("pts_mask"),
         )
 
-    def _render_fake(self, g_params, batch, feats, crop_size=None):
+    def _render_fake(self, g_params, batch, feats, crop_size=None,
+                     g_stats=None, train=False, dp_rng=None):
         """Generator fwd -> pack -> rasterize -> flips -> crop.
-        Returns ([B, Hc, Wc, 3] NHWC, overflow diagnostics dict).
+        Returns ([B, Hc, Wc, 3] NHWC, (diagnostics dict, new batch_stats)).
 
         ``crop_size`` is the static (W, H) of the batch's image crop; it
-        defaults to the train crop, eval passes the test crop."""
+        defaults to the train crop, eval passes the test crop.
+        ``g_stats`` is the generator's "batch_stats" collection (PTv3 BN
+        running averages); with ``train=True`` the batch statistics are
+        folded into it and the updated collection is returned.  ``dp_rng``
+        drives PTv3 stochastic depth (active only in training, like the
+        reference's module.train() mode — models/pt_v3.py:954)."""
+        has_stats = (g_stats is not None
+                     and len(jax.tree_util.tree_leaves(g_stats)) > 0)
+        vars_in = {"params": g_params}
+        if has_stats:
+            vars_in["batch_stats"] = g_stats
+        mutable = ["intermediates"]
+        if train and has_stats:
+            mutable.append("batch_stats")
         attrs, g_vars = self.generator.apply(
-            {"params": g_params}, feats["proj_uv"], feats["rel_xyz"], None,
+            vars_in, feats["proj_uv"], feats["rel_xyz"], None,
             feats["onehots"], feats["z"], batch.get("proj_hf"),
-            batch.get("proj_seg"), feats["pts_mask"],
-            mutable=["intermediates"],
+            batch.get("proj_seg"), feats["pts_mask"], train,
+            mutable=mutable,
+            rngs={"droppath": dp_rng} if dp_rng is not None else None,
         )
+        new_stats = g_vars.get("batch_stats", g_stats)
         # PTv3 pooled-capacity overflow counters (models/ptv3.py sow);
         # empty tree when PTv3 is off.
         over_leaves = jax.tree_util.tree_leaves(
@@ -239,7 +258,7 @@ class Trainer:
             "RasterTruncated": out.n_truncated.astype(jnp.float32),
             "PTv3PoolOverflow": pool_overflow.astype(jnp.float32),
         }
-        return img[None], diag
+        return img[None], (diag, new_stats)
 
     # ------------------------------------------------------------------
     # Train step
@@ -249,7 +268,7 @@ class Trainer:
                    axis_name: Optional[str] = None
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg.train
-        rng_z, _ = jax.random.split(rng)
+        rng_z, rng_dp = jax.random.split(rng)
         feats = self._point_features(batch, rng_z)
         gan_w = batch["msk"][:, ::4, ::4, :]  # nearest 0.25x (train.py:204)
 
@@ -269,8 +288,10 @@ class Trainer:
         # feed the stop-gradient value to the D step, and pull the G
         # cotangent through the saved residuals afterwards.  Saves a full
         # generator+rasterizer forward per step.
-        fake_imgs, render_vjp, raster_diag = jax.vjp(
-            lambda p: self._render_fake(p, batch, feats),
+        fake_imgs, render_vjp, (raster_diag, g_stats) = jax.vjp(
+            lambda p: self._render_fake(p, batch, feats,
+                                        g_stats=state.g_stats, train=True,
+                                        dp_rng=rng_dp),
             state.g_params, has_aux=True)
         fake_sg = jax.lax.stop_gradient(fake_imgs)
         metrics.update(raster_diag)
@@ -337,7 +358,8 @@ class Trainer:
                                             state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         state = state.replace(
-            g_params=g_params, g_opt=g_opt, step=state.step + 1,
+            g_params=g_params, g_stats=g_stats, g_opt=g_opt,
+            step=state.step + 1,
             d_stats=d_stats if self.use_disc else state.d_stats,
         )
         metrics.update(GenLoss=loss_g, L1Loss=_l1, PerceptualLoss=_pl,
@@ -350,8 +372,10 @@ class Trainer:
 
     def eval_step(self, state: TrainState, batch, rng):
         feats = self._point_features(batch, rng)
-        fake, diag = self._render_fake(state.g_params, batch, feats,
-                                       crop_size=self.test_crop_size)
+        fake, (diag, _) = self._render_fake(state.g_params, batch, feats,
+                                            crop_size=self.test_crop_size,
+                                            g_stats=state.g_stats,
+                                            train=False)
         l1 = masked_l1(fake, batch["rgb"], batch["msk"])
         return {"L1Loss": l1, **diag}, fake
 
@@ -392,6 +416,10 @@ def make_parallel_train_step(trainer: Trainer, mesh):
         if state.d_stats is not None:
             state = state.replace(
                 d_stats=jax.lax.pmean(state.d_stats, "data"))
+        # BN running averages likewise (torch DDP instead broadcasts
+        # rank 0's buffers each forward; pmean keeps the same invariant —
+        # identical replicated state — without the asymmetry)
+        state = state.replace(g_stats=jax.lax.pmean(state.g_stats, "data"))
         metrics = {k: jax.lax.pmean(v, "data") for k, v in metrics.items()}
         return state, metrics
 

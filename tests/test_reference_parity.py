@@ -702,3 +702,91 @@ class TestPerceptualLossParity:
                          jnp.asarray(t2n(inp).transpose(0, 2, 3, 1)),
                          jnp.asarray(t2n(tgt).transpose(0, 2, 3, 1))))
         np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+class TestMaskedBatchNormParity:
+    """MaskedBatchNorm vs torch BatchNorm1d(eps=1e-3, momentum=0.01) — the
+    norm the reference PTv3 uses everywhere (reference: models/pt_v3.py:1201).
+
+    The reference runs BN over the concatenated ragged point list of the
+    whole batch; ours runs under nn.vmap with a batch axis_name and masks.
+    Parity requires: identical train-mode outputs at valid points, identical
+    running-average updates (torch: biased batch var for normalization,
+    unbiased for the running buffer), and identical eval-mode outputs.
+    """
+
+    def _lifted(self):
+        import flax.linen as nn
+
+        from gaussiancity_tpu.models.ptv3 import MaskedBatchNorm
+
+        return nn.vmap(
+            MaskedBatchNorm,
+            in_axes=(0, 0, None),
+            out_axes=0,
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False},
+            axis_name="b",
+        )(eps=1e-3, momentum=0.01, axis_name="b")
+
+    def test_train_eval_and_running_stats(self):
+        B, N, C = 3, 57, 8
+        rng = np.random.RandomState(7)
+        x = rng.randn(B, N, C).astype(np.float32) * 2.0 + 0.5
+        mask = rng.rand(B, N) > 0.35
+        mask[:, 0] = True
+        # poison invalid slots: they must not leak into stats or buffers
+        x[~mask] = 1e6
+
+        bn_t = torch.nn.BatchNorm1d(C, eps=1e-3, momentum=0.01)
+        with torch.no_grad():
+            bn_t.weight.copy_(torch.tensor(rng.randn(C).astype(np.float32)))
+            bn_t.bias.copy_(torch.tensor(rng.randn(C).astype(np.float32)))
+        bn_t.train()
+        xt = torch.tensor(x[mask])
+        yt = bn_t(xt).detach().numpy()
+
+        mod = self._lifted()
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             jnp.asarray(mask), True)
+        variables = {
+            "params": {
+                "scale": jnp.asarray(bn_t.weight.detach().numpy()),
+                "bias": jnp.asarray(bn_t.bias.detach().numpy()),
+            },
+            "batch_stats": variables["batch_stats"],
+        }
+        y, updated = mod.apply(variables, jnp.asarray(x), jnp.asarray(mask),
+                               True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y)[mask], yt,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["mean"]),
+            bn_t.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["var"]),
+            bn_t.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+        # second train step folds momentum again
+        x2 = (rng.randn(B, N, C).astype(np.float32) - 1.0)
+        x2[~mask] = -1e6
+        _ = bn_t(torch.tensor(x2[mask]))
+        variables["batch_stats"] = updated["batch_stats"]
+        _, updated2 = mod.apply(variables, jnp.asarray(x2), jnp.asarray(mask),
+                                True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(updated2["batch_stats"]["mean"]),
+            bn_t.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(updated2["batch_stats"]["var"]),
+            bn_t.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+        # eval path normalizes with the running averages (torch eval)
+        bn_t.eval()
+        x3 = rng.randn(B, N, C).astype(np.float32)
+        with torch.no_grad():
+            yt3 = bn_t(torch.tensor(x3[mask])).numpy()
+        variables["batch_stats"] = updated2["batch_stats"]
+        y3 = mod.apply(variables, jnp.asarray(x3), jnp.asarray(mask), False)
+        np.testing.assert_allclose(np.asarray(y3)[mask], yt3,
+                                   rtol=1e-4, atol=1e-5)
