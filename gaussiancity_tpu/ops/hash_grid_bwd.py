@@ -33,7 +33,6 @@ The sorted slice boundaries come from `searchsorted` (scalar-prefetched).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -146,34 +145,34 @@ def scatter_rows_sorted(
 
 
 def hash_grad_embeddings(
-    idx: jnp.ndarray,  # [L, NC, N] int32 global rows (level offset added)
+    idx: jnp.ndarray,  # [L, NC, N] int32 LEVEL-LOCAL rows
     w: jnp.ndarray,  # [L, NC, N] f32 corner weights
     g_l: jnp.ndarray,  # [L, N, C] f32 upstream grads (oob already zeroed)
-    offsets: Sequence[int],  # static per-level row offsets
-    level_rows: Sequence[int],  # static per-level table rows
-    total_rows: int,
+    n_rows: int,  # R_max: rows per level in the [L, R_max, C] table
 ) -> jnp.ndarray:
-    """Dense [total_rows, C] embedding gradient via sort + MXU one-hot."""
+    """Dense [L, n_rows, C] embedding gradient via sort + MXU one-hot."""
     L, NC, N = idx.shape
     C = g_l.shape[-1]
     M = NC * N
     TR, U = _tile_sizes()
-    r_max = max(level_rows)
-    r_max = -(-r_max // TR) * TR  # round up to tile multiple
+    r_max = -(-n_rows // TR) * TR  # round up to tile multiple
     T = r_max // TR
     # pad so fixed-size aligned chunk DMAs stay in bounds
     pad_to = max(U, _ALIGN)
     Mpad = -(-(M + pad_to) // pad_to) * pad_to
 
-    offs = jnp.asarray(offsets, jnp.int32)[:, None]
-    keys = idx.reshape(L, M) - offs  # level-local rows
+    keys = idx.reshape(L, M)
     pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (L, M))
-    sk, sp = lax.sort((keys, pos), dimension=1, num_keys=1)
-
-    # payload in original order: u[l, m] = w[l, m] * g_l[l, m % N]
-    u = (w.reshape(L, M, 1)
-         * jnp.broadcast_to(g_l[:, None], (L, NC, N, C)).reshape(L, M, C))
-    u_sorted = jnp.take_along_axis(u, sp[:, :, None], axis=1)
+    # Carry the corner weight THROUGH the sort and gather the (small)
+    # [N, C] grad rows afterwards: building w*g in original order and
+    # reordering it costs an 8.4M-row gather from a 268MB array (~120 ms
+    # on-chip); the per-level [N, C] gather below hits a ~512KB working
+    # set instead.
+    sk, sp, sw = lax.sort((keys, pos, w.reshape(L, M)), dimension=1,
+                          num_keys=1)
+    n_sorted = sp % N  # reshape order of idx/w is m = corner * N + point
+    g_sorted = jnp.stack([g_l[lvl][n_sorted[lvl]] for lvl in range(L)])
+    u_sorted = sw[:, :, None] * g_sorted  # [L, M, C]
     # channel-major [L, SUB, Mpad] with 8-aligned sublane layout:
     # channels 0..C-1, key at row Ca, rest zero.  Sentinel keys are
     # beyond every tile -> all-zero one-hot rows.
@@ -196,8 +195,4 @@ def hash_grad_embeddings(
 
     tiles = scatter_rows_sorted(uaug, starts, r_max, C)  # [L, T, C, TR]
     per_level = tiles.transpose(0, 1, 3, 2).reshape(L, r_max, C)
-    out = jnp.zeros((total_rows, C), jnp.float32)
-    for lvl in range(L):
-        out = lax.dynamic_update_slice(
-            out, per_level[lvl, : level_rows[lvl]], (offsets[lvl], 0))
-    return out
+    return per_level[:, :n_rows]

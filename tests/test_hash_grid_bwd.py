@@ -18,6 +18,7 @@ from gaussiancity_tpu.ops.hash_grid import (
     _level_geometry,
     hash_encode,
     level_params,
+    table_shape,
 )
 
 
@@ -31,13 +32,13 @@ def _setup(D=3, L=4, base=4, desired=32, lg=8, N=201, seed=0):
 
 
 class TestHashGradEmbeddings:
-    def _check(self, idx, w, g_l, offsets, level_rows, total):
-        d_emb = hash_grid_bwd.hash_grad_embeddings(
-            idx, w, g_l, offsets, level_rows, total)
+    def _check(self, idx, w, g_l, n_rows):
+        d_emb = hash_grid_bwd.hash_grad_embeddings(idx, w, g_l, n_rows)
         C = g_l.shape[-1]
-        d_vals = w[..., None] * g_l[:, None]
-        oracle = jnp.zeros((total, C)).at[idx.reshape(-1)].add(
-            d_vals.reshape(-1, C))
+        d_vals = w[..., None] * g_l[:, None]  # [L, 2^D, N, C]
+        oracle = jax.vmap(
+            lambda il, dl: jnp.zeros((n_rows, C)).at[il.reshape(-1)].add(
+                dl.reshape(-1, C)))(idx, d_vals)
         # the kernel's payload rides through a bf16 hi/lo split (exact
         # one-hot x ~2^-16-accurate values): loose enough for that,
         # tight enough to catch any placement/duplicate logic bug
@@ -46,24 +47,24 @@ class TestHashGradEmbeddings:
 
     def test_mixed_dense_hashed_levels(self):
         D, L, C = 3, 4, 8
-        offsets, level_rows, total, hashed, x = _setup(D=D, L=L)
+        _, level_rows, _, hashed, x = _setup(D=D, L=L)
         assert (not hashed[0]) and hashed[-1]  # covers both index paths
         idx, frac, _, _ = _level_geometry(x, D, L, 4, 32, 8, 1.0)
         w = _corner_weights(frac, D)
         g_l = jax.random.normal(jax.random.PRNGKey(2), (L, x.shape[0], C))
-        self._check(idx, w, g_l, offsets, level_rows, total)
+        self._check(idx, w, g_l, max(level_rows))
 
     def test_skewed_all_points_one_cell(self):
         # every point in the same cell: one table tile receives ALL
         # updates — the chunk loop must stream them without truncation
         D, L, C = 3, 2, 4
-        offsets, level_rows, total, _, _ = _setup(D=D, L=L, N=7)
+        _, level_rows, _, _, _ = _setup(D=D, L=L, N=7)
         N = 300
         x = jnp.full((N, D), 0.123)
         idx, frac, _, _ = _level_geometry(x, D, L, 4, 32, 8, 1.0)
         w = _corner_weights(frac, D)
         g_l = jax.random.normal(jax.random.PRNGKey(3), (L, N, C))
-        self._check(idx, w, g_l, offsets, level_rows, total)
+        self._check(idx, w, g_l, max(level_rows))
 
     def test_five_dim_hashed(self):
         D, L, C = 5, 3, 8
@@ -77,7 +78,7 @@ class TestHashGradEmbeddings:
         idx, frac, _, _ = _level_geometry(x, D, L, 4, 16, 9, 1.0)
         w = _corner_weights(frac, D)
         g_l = jax.random.normal(jax.random.PRNGKey(6), (L, N, C))
-        self._check(idx, w, g_l, offsets, level_rows, total)
+        self._check(idx, w, g_l, max(level_rows))
 
 
 class TestHashEncodeCustomVJP:
@@ -86,7 +87,7 @@ class TestHashEncodeCustomVJP:
             idx, frac, oob, _ = _level_geometry(xx, D, L, base, desired,
                                                 lg, 1.0)
             w = _corner_weights(frac, D)
-            vals = ee[idx]
+            vals = jnp.stack([ee[lvl][idx[lvl]] for lvl in range(L)])
             o = jnp.sum(vals * w[..., None], axis=1)
             o = o.transpose(1, 0, 2).reshape(xx.shape[0], -1)
             return jnp.where(oob[:, None], 0.0, o)
@@ -95,12 +96,13 @@ class TestHashEncodeCustomVJP:
     @pytest.mark.parametrize("D", [2, 5])
     def test_grads_match_autodiff(self, D):
         L, C, base, desired, lg = 4, 8, 4, 32, 10
-        _, _, _, _, total = level_params(D, L, base, desired, lg)
         N = 257
         x = jax.random.uniform(jax.random.PRNGKey(0), (N, D), minval=-0.95,
                                maxval=0.95)
         x = x.at[0].set(jnp.full((D,), 1.5))  # oob row
-        emb = jax.random.normal(jax.random.PRNGKey(1), (total, C)) * 0.1
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1),
+            table_shape(D, L, base, desired, lg, C)) * 0.1
         g = jax.random.normal(jax.random.PRNGKey(3), (N, L * C))
         oracle = self._oracle(D, L, base, desired, lg)
 
@@ -126,10 +128,11 @@ class TestHashEncodeCustomVJP:
 
     def test_jit_and_value_and_grad(self):
         D, L, C, base, desired, lg = 3, 2, 4, 4, 16, 8
-        _, _, _, _, total = level_params(D, L, base, desired, lg)
         x = jax.random.uniform(jax.random.PRNGKey(0), (64, D), minval=-1,
                                maxval=1)
-        emb = jax.random.normal(jax.random.PRNGKey(1), (total, C)) * 0.1
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1),
+            table_shape(D, L, base, desired, lg, C)) * 0.1
 
         @jax.jit
         def loss(xx, ee):
