@@ -116,13 +116,16 @@ def synthetic_rest_batch(jax, jnp, cfg, n_pts):
     }
 
 
-def bench_rest_train_step(jax, jnp):
-    """Full REST-recipe GAN train step (BASELINE.md config 2): 16k points,
-    640x448 crop, D+G updates, L1+VGG+GAN."""
+def bench_train_step(jax, jnp, recipe="rest"):
+    """Full GAN train step: 16k points, 640x448 crop, D+G updates,
+    L1+VGG+GAN.  recipe="rest" is BASELINE.md config 2 (GLOBAL encoder +
+    hash grid, PTv3 off); "bldg" is config 3 (sin/cos + per-instance z,
+    PTv3 on)."""
     from gaussiancity_tpu import config as cfg_mod
     from gaussiancity_tpu.training.step import Trainer, make_train_step
 
-    cfg = cfg_mod.rest_recipe()
+    cfg = (cfg_mod.bldg_recipe() if recipe == "bldg"
+           else cfg_mod.rest_recipe())
     cfg = cfg.replace(
         dataset=cfg.dataset.replace(train_crop_size=(640, 448)),
         rasterizer=cfg.rasterizer.replace(
@@ -200,11 +203,12 @@ def main():
 
     rays_per_s, extra = bench_rasterizer(jax, jnp)
     if os.environ.get("GAUSSIANCITY_BENCH_HEADLINE_ONLY") != "1":
-        try:
-            extra["rest_train_step_ms"] = round(
-                bench_rest_train_step(jax, jnp) * 1e3, 1)
-        except Exception as e:  # never lose the headline to an extra
-            extra["rest_train_step_error"] = repr(e)[:200]
+        for recipe in ("rest", "bldg"):
+            try:
+                extra[f"{recipe}_train_step_ms"] = round(
+                    bench_train_step(jax, jnp, recipe) * 1e3, 1)
+            except Exception as e:  # never lose the headline to an extra
+                extra[f"{recipe}_train_step_error"] = repr(e)[:200]
         try:
             extra["inference_frame_960x540_ms"] = round(
                 bench_inference_frame(jax, jnp) * 1e3, 1)

@@ -135,8 +135,16 @@ def voxel_keys(grid_coord: jnp.ndarray, valid: jnp.ndarray,
 def subm_neighbors(grid_coord, valid, kernel_size: int, depth: int = 10):
     """Precompute submanifold-conv neighbor indices for one voxel grid.
 
-    One argsort of the voxel keys + one searchsorted per kernel offset,
-    shared by every SubMConv on the same (grid_coord, valid) — each PTv3
+    One argsort of the voxel keys, then the K^3 offset lookups in ONE
+    batched merge instead of per-offset ``searchsorted``: each query row
+    ``sorted_keys + off`` is itself sorted, so the rank of every query in
+    ``sorted_keys`` falls out of a stable sort of the concatenated
+    [queries, keys] row (count of keys preceding each query) — two
+    batched ``lax.sort``s total.  ``searchsorted`` lowers to a
+    binary-search loop of serial per-element gathers on TPU: the k5 stem
+    measured 250 ms at 16k points vs ~25 ms for this formulation.
+
+    Shared by every SubMConv on the same (grid_coord, valid) — each PTv3
     stage computes this once instead of once per block, and the integer
     index math stays outside the blocks' remat regions (it has no grads
     to recompute).
@@ -149,19 +157,36 @@ def subm_neighbors(grid_coord, valid, kernel_size: int, depth: int = 10):
     keys = voxel_keys(grid_coord, valid, depth)
     order = jnp.argsort(keys)
     sorted_keys = keys[order]
+    inverse = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
     offs = jnp.asarray(
         [dx * M * M + dy * M + dz
          for dx in range(-r, r + 1)
          for dy in range(-r, r + 1)
          for dz in range(-r, r + 1)], dtype=jnp.int32)
+    K = offs.shape[0]
 
-    def per_off(off):
-        nb_key = keys + off
-        pos = jnp.clip(jnp.searchsorted(sorted_keys, nb_key), 0, N - 1)
-        found = (sorted_keys[pos] == nb_key) & valid
-        return order[pos], found
+    # merged ranks: queries at positions [0, N) so a stable sort puts a
+    # query BEFORE equal keys -> rank = #{keys < q} = searchsorted-left
+    queries = sorted_keys[None, :] + offs[:, None]  # [K, N], rows sorted
+    akeys = jnp.broadcast_to(sorted_keys[None], (K, N))
+    cat = jnp.concatenate([queries, akeys], axis=1)  # [K, 2N]
+    pay = jnp.broadcast_to(
+        jnp.arange(2 * N, dtype=jnp.int32)[None], (K, 2 * N))
+    _, sp = jax.lax.sort((cat, pay), dimension=1, num_keys=1)
+    is_key = (sp >= N).astype(jnp.int32)
+    rank = jnp.cumsum(is_key, axis=1) - is_key  # keys strictly before slot
+    # compact ranks back to query order j = sp (for sp < N): a second
+    # payload sort is a permutation apply without TPU scatter
+    _, rank_q = jax.lax.sort((sp, rank), dimension=1, num_keys=1)
+    pos_sorted = jnp.clip(rank_q[:, :N], 0, N - 1)  # [K, N]
+    found_sorted = (jnp.take_along_axis(akeys, pos_sorted, axis=1)
+                    == queries)
 
-    nb_idx, found = jax.vmap(per_off)(offs)
+    # back to original point order: query row j is sorted slot j
+    pos = pos_sorted[:, inverse]
+    found = found_sorted[:, inverse] & valid[None, :]
+    nb_idx = order[pos]
     return nb_idx, found
 
 

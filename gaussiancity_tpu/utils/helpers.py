@@ -93,18 +93,17 @@ def get_z(key, instances: jnp.ndarray, z_dim: Optional[int],
 
     Note: draws a z row per instance-id slot (id mod max_instances), so
     identical ids share a code — same semantics as the reference's unique()
-    loop, without data-dependent shapes.
+    loop, without data-dependent shapes.  One table draw + row gather:
+    a per-point fold_in(key, id) formulation spawns N independent
+    threefry streams and cost ~370 ms/step on-chip at the BLDG recipe;
+    the [max_instances, z_dim] table is one 16.8 MB PRNG stream (~2 ms)
+    and a small-working-set gather.
     """
     if z_dim is None:
         return None
     idx = (instances % max_instances).astype(jnp.int32)
-
-    # Derive each instance's code by folding its id into the key — identical
-    # ids share a code, no 16384-row table is materialized.
-    def point_z(i):
-        return jax.random.normal(jax.random.fold_in(key, i), (z_dim,))
-
-    return jax.vmap(jax.vmap(point_z))(idx)
+    table = jax.random.normal(key, (max_instances, z_dim))
+    return table[idx]
 
 
 def get_camera_look_at(cam_position, cam_quaternion, step: float = 1000.0):

@@ -33,7 +33,11 @@ def main():
     from gaussiancity_tpu.training.step import Trainer, make_train_step
     import bench as bench_mod
 
-    cfg = cfg_mod.rest_recipe()
+    import os
+
+    recipe = os.environ.get("BENCH_RECIPE", "rest")
+    cfg = (cfg_mod.bldg_recipe() if recipe == "bldg"
+           else cfg_mod.rest_recipe())
     cfg = cfg.replace(
         dataset=cfg.dataset.replace(train_crop_size=(640, 448)),
         rasterizer=cfg.rasterizer.replace(

@@ -5,6 +5,7 @@ mask invariance, full backbone + generator integration."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussiancity_tpu.config import GaussianNetworkConfig, PTv3Config
 from gaussiancity_tpu.models.ptv3 import PointTransformerV3, PTv3Single
@@ -231,3 +232,53 @@ class TestPoolOverflowCounter:
     def test_no_overflow_when_capacity_suffices(self):
         # divisor=1 keeps full N at every stage -> no clamping possible
         assert self._run(divisor=1, patch=64) == 0
+
+
+class TestSubMNeighbors:
+    """Merge-rank neighbor search vs the searchsorted oracle
+    (reference semantics: spconv SubMConv3d gathers the feature of the
+    occupied voxel at each kernel offset)."""
+
+    def _oracle(self, grid, valid, k, depth=10):
+        import numpy as np
+
+        from gaussiancity_tpu.models.ptv3 import voxel_keys
+
+        N = grid.shape[0]
+        r = k // 2
+        M = 1 << depth
+        keys = np.asarray(voxel_keys(grid, valid, depth))
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        offs = [dx * M * M + dy * M + dz
+                for dx in range(-r, r + 1)
+                for dy in range(-r, r + 1)
+                for dz in range(-r, r + 1)]
+        nb, fnd = [], []
+        for off in offs:
+            q = keys + off
+            pos = np.clip(np.searchsorted(skeys, q), 0, N - 1)
+            found = (skeys[pos] == q) & np.asarray(valid)
+            nb.append(order[pos])
+            fnd.append(found)
+        return np.stack(nb), np.stack(fnd)
+
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_matches_searchsorted_oracle(self, k):
+        import numpy as np
+
+        from gaussiancity_tpu.models.ptv3 import subm_neighbors
+
+        rng = np.random.RandomState(0)
+        N = 300
+        # clustered coords -> duplicates and dense neighborhoods
+        grid = jnp.asarray(rng.randint(0, 12, (N, 3)), jnp.int32)
+        valid = jnp.asarray(rng.rand(N) > 0.2)
+        nb, fnd = subm_neighbors(grid, valid, k)
+        nb_o, fnd_o = self._oracle(grid, valid, k)
+        np.testing.assert_array_equal(np.asarray(fnd), fnd_o)
+        # where found, the chosen neighbor voxel must hold the same KEY
+        # (several points can share a voxel; searchsorted-left picks the
+        # first sorted slot — the merge must too)
+        np.testing.assert_array_equal(
+            np.asarray(nb)[fnd_o], nb_o[fnd_o])
