@@ -790,3 +790,57 @@ class TestMaskedBatchNormParity:
         y3 = mod.apply(variables, jnp.asarray(x3), jnp.asarray(mask), False)
         np.testing.assert_allclose(np.asarray(y3)[mask], yt3,
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestSerializationParity:
+    """SFC codes vs the reference's torch Serializator (pure torch,
+    CPU-runnable with stubs: reference models/pt_v3.py:44-340).  These
+    orders define PTv3's point ordering — weight parity with reference
+    checkpoints requires the codes to match exactly."""
+
+    def _ref_serializator(self):
+        if "addict" not in sys.modules:
+            mod = _stub_module("addict")
+            mod.Dict = dict
+            sys.modules["addict"] = mod
+        ref = load_ref(
+            "models/pt_v3.py",
+            stubs=("flash_attn", "spconv", "spconv.pytorch",
+                   "torch_scatter"),
+        )
+        return ref.Serializator()
+
+    @pytest.mark.parametrize(
+        "order", ["cord", "z", "z-trans", "hilbert", "hilbert-trans"])
+    def test_codes_match_reference(self, order):
+        from gaussiancity_tpu.ops import serialization as ser
+
+        sz = self._ref_serializator()
+        rng = np.random.RandomState(0)
+        depth = 10
+        g = rng.randint(0, 1 << depth, (512, 3)).astype(np.int64)
+        # include axis-aligned/corner cases
+        g[:8] = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                 [(1 << depth) - 1] * 3, [255, 255, 255],
+                 [256, 256, 256], [257, 1, 511]]
+        want = sz.encode(torch.tensor(g), grid_size=0.01, depth=depth,
+                         order=order).numpy()
+        got = np.asarray(
+            ser.encode(jnp.asarray(g, jnp.int32), 0.01, order, depth),
+            dtype=np.int64)
+        np.testing.assert_array_equal(got, want)
+
+    def test_cord_matches_reference_float_semantics(self):
+        # cord code = x / gs^2 + y / gs + z computed in FLOAT then .long()
+        # (reference models/pt_v3.py:119-127) — the truncation must match.
+        from gaussiancity_tpu.ops import serialization as ser
+
+        sz = self._ref_serializator()
+        rng = np.random.RandomState(1)
+        g = rng.randint(0, 1000, (2048, 3)).astype(np.int64)
+        want = sz.encode(torch.tensor(g), grid_size=0.01, depth=10,
+                         order="cord").numpy()
+        got = np.asarray(
+            ser.encode(jnp.asarray(g, jnp.int32), 0.01, "cord", 10),
+            dtype=np.int64)
+        np.testing.assert_array_equal(got, want)
