@@ -53,6 +53,7 @@ def rasterize(
     scale_modifier: float = 1.0,
     shs: Optional[jnp.ndarray] = None,
     sh_degree: int = 0,
+    window: Optional[Tuple] = None,
 ) -> RenderOutput:
     """Render N (padded) Gaussians to a [3, H, W] image.
 
@@ -61,6 +62,15 @@ def rasterize(
     ([N, M, 3] spherical-harmonics coefficients, evaluated along the view
     direction at ``sh_degree``) must be given, mirroring the reference's
     ``colors_precomp`` / ``shs`` contract (dgr/__init__.py:236-243).
+
+    ``window=(x0, y0, Wc, Hc)`` renders only that sensor window (origins
+    may be traced scalars; Wc/Hc must be static):  the per-Gaussian
+    preprocess stays on the FULL sensor camera — identical projection,
+    EWA, culling — and the screen means are shifted by the integer origin
+    before binning, so every window pixel blends the same values as the
+    corresponding full-render pixel (the reference crops AFTER rendering
+    the full sensor, utils/helpers.py:250-270; rendering the crop
+    directly skips the ~2x pixels the crop throws away).
     """
     N = means3d.shape[0]
     if (colors is None) == (shs is None):
@@ -79,17 +89,25 @@ def rasterize(
         means3d, opacities, scales, quats, colors, valid, cam,
         scale_modifier=scale_modifier, near_z=cfg.near_z,
     )
+    img_h, img_w = cam.img_h, cam.img_w
+    if window is not None:
+        x0, y0, wc, hc = window
+        prep = prep._replace(
+            mx=prep.mx - jnp.asarray(x0).astype(prep.mx.dtype),
+            my=prep.my - jnp.asarray(y0).astype(prep.my.dtype),
+        )
+        img_w, img_h = int(wc), int(hc)
     bins = binning.bin_gaussians(
         prep,
-        cam.img_h,
-        cam.img_w,
+        img_h,
+        img_w,
         tile_h=cfg.tile_h,
         tile_w=cfg.tile_w,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         tile_capacity=cfg.tile_capacity,
     )
 
-    n_ty, n_tx = binning.tile_grid(cam.img_h, cam.img_w, cfg.tile_h, cfg.tile_w)
+    n_ty, n_tx = binning.tile_grid(img_h, img_w, cfg.tile_h, cfg.tile_w)
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -136,11 +154,11 @@ def rasterize(
             consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f,
             bg)
     image = _assemble_image(
-        tiles_out, n_ty, n_tx, cfg.tile_h, cfg.tile_w, cam.img_h, cam.img_w
+        tiles_out, n_ty, n_tx, cfg.tile_h, cfg.tile_w, img_h, img_w
     )
     final_T = _assemble_image(
         tiles_T[..., None], n_ty, n_tx, cfg.tile_h, cfg.tile_w,
-        cam.img_h, cam.img_w,
+        img_h, img_w,
     )[0]
     return RenderOutput(
         image=image,
@@ -178,9 +196,11 @@ def rasterize_points14(
     cfg: RasterizerConfig = RasterizerConfig(),
     valid: Optional[jnp.ndarray] = None,
     bg: Optional[jnp.ndarray] = None,
+    window: Optional[Tuple] = None,
 ) -> RenderOutput:
     xyz, opacity, scales, quats, rgbs = unpack_points14(points)
-    return rasterize(xyz, opacity, scales, quats, rgbs, cam, cfg, valid, bg)
+    return rasterize(xyz, opacity, scales, quats, rgbs, cam, cfg, valid, bg,
+                     window=window)
 
 
 class GaussianRasterizerWrapper:

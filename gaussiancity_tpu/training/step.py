@@ -236,20 +236,27 @@ class Trainer:
             "(reference: core/train.py:46); scale via the data mesh axis"
         cam = self.camera.params_traced(batch["cam_pos"][0],
                                         batch["cam_quat"][0])
+        # Render ONLY the crop window (the reference renders the full
+        # sensor and crops, utils/helpers.py:261-267 — same pixels, ~2x
+        # wasted blend work).  The batch's crp_xy addresses the FLIPPED
+        # image, so map it to pre-flip sensor coordinates and flip the
+        # small render instead.
+        Wc, Hc = crop_size if crop_size is not None else self.train_crop_size
+        xy = batch["crp_xy"][0]
+        W, H = self.camera.sensor_size
+        xw = (W - xy[0] - Wc) if self.flip_lr else xy[0]
+        yw = (H - xy[1] - Hc) if self.flip_ud else xy[1]
         out = rasterize_points14(
             gs_pts[0], cam, self.cfg.rasterizer,
             valid=feats["pts_mask"][0] if feats["pts_mask"] is not None else None,
+            window=(xw, yw, Wc, Hc),
         )
-        img = out.image  # [3, H, W]
+        img = out.image  # [3, Hc, Wc]
         if self.flip_lr:
             img = img[:, :, ::-1]
         if self.flip_ud:
             img = img[:, ::-1, :]
         img = img.transpose(1, 2, 0)  # HWC
-        Wc, Hc = crop_size if crop_size is not None else self.train_crop_size
-        xy = batch["crp_xy"][0]
-        img = jax.lax.dynamic_slice(
-            img, (xy[1], xy[0], 0), (Hc, Wc, 3))
         # Binning-overflow diagnostics: nonzero means the render silently
         # truncated Gaussian/tile pairs (tile_capacity or
         # max_tiles_per_gaussian exceeded) — must be surfaced, never dropped.

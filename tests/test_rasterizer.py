@@ -200,3 +200,63 @@ class TestJit:
         np.testing.assert_allclose(
             f(*scene), rasterize(*scene, cam, CFG).image, atol=1e-5
         )
+
+
+class TestWindowedRender:
+    """window=(x0, y0, Wc, Hc) must reproduce the corresponding crop of
+    the full-sensor render — values and gradients (the reference crops
+    after rendering the full sensor, utils/helpers.py:250-270)."""
+
+    def test_window_equals_full_crop(self):
+        cam = make_camera(W=256, H=64)
+        scene = make_scene(jax.random.PRNGKey(3), n=512)
+        full = rasterize(*scene, cam, CFG)
+        x0, y0, Wc, Hc = 96, 16, 128, 32
+        win = rasterize(*scene, cam, CFG,
+                        window=(jnp.int32(x0), jnp.int32(y0), Wc, Hc))
+        np.testing.assert_allclose(
+            np.asarray(win.image),
+            np.asarray(full.image[:, y0:y0 + Hc, x0:x0 + Wc]),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(win.final_T),
+            np.asarray(full.final_T[y0:y0 + Hc, x0:x0 + Wc]),
+            rtol=1e-5, atol=1e-5)
+
+    def test_window_grads_match_full_crop(self):
+        cam = make_camera(W=256, H=64)
+        scene = make_scene(jax.random.PRNGKey(4), n=256)
+        x0, y0, Wc, Hc = 64, 24, 128, 32
+
+        def loss_full(*s):
+            img = rasterize(*s, cam, CFG).image
+            return jnp.sum(img[:, y0:y0 + Hc, x0:x0 + Wc] ** 2)
+
+        def loss_win(*s):
+            img = rasterize(*s, cam, CFG,
+                            window=(x0, y0, Wc, Hc)).image
+            return jnp.sum(img ** 2)
+
+        gf = jax.grad(loss_full, argnums=(0, 1, 2, 3, 4))(*scene)
+        gw = jax.grad(loss_win, argnums=(0, 1, 2, 3, 4))(*scene)
+        for a, b in zip(gw, gf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_traced_window_origin_under_jit(self):
+        cam = make_camera(W=256, H=64)
+        scene = make_scene(jax.random.PRNGKey(5), n=128)
+        Wc, Hc = 128, 32
+
+        @jax.jit
+        def render_at(x0, y0):
+            return rasterize(*scene, cam, CFG,
+                             window=(x0, y0, Wc, Hc)).image
+
+        full = rasterize(*scene, cam, CFG).image
+        for x0, y0 in ((0, 0), (128, 32), (40, 8)):
+            got = render_at(jnp.int32(x0), jnp.int32(y0))
+            np.testing.assert_allclose(
+                np.asarray(got),
+                np.asarray(full[:, y0:y0 + Hc, x0:x0 + Wc]),
+                rtol=1e-5, atol=1e-5)
