@@ -40,9 +40,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Table-tile rows per grid program and updates per chunk.  On CPU
+# Table-tile rows per grid program and updates per chunk (swept on-chip:
+# (512, 1024) 78.6 ms vs (512, 512) 84.8 at the REST shape).  On CPU
 # (interpret mode) keep them tiny so unrolled/interp loops stay fast.
-TR_TPU, U_TPU = 512, 512
+TR_TPU, U_TPU = 512, 1024
 TR_CPU, U_CPU = 32, 32
 _ALIGN = 128  # lane alignment for chunk starts
 

@@ -106,5 +106,43 @@ def main():
         (g_out,)))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not __import__("os").environ.get("SWEEP"):
     main()
+
+
+def sweep():
+    """Sweep scatter-kernel (TR, U) tile sizes via monkeypatch."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gaussiancity_tpu.ops import hash_grid_bwd
+    from gaussiancity_tpu.ops.hash_grid import (
+        _corner_weights, _level_geometry, table_shape)
+
+    D, L, C, N = 5, 16, 8, 16384
+    base, desired, lg = 16, 2048, 19
+    R = table_shape(D, L, base, desired, lg, C)[1]
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (N, D), minval=-1, maxval=1)
+    idx, frac, oob, _ = _level_geometry(x, D, L, base, desired, lg, 1.0)
+    w = _corner_weights(frac, D)
+    g_l = jax.random.normal(jax.random.PRNGKey(1), (L, N, C))
+
+    for tr, u in ((512, 512), (256, 512), (1024, 512), (512, 1024),
+                  (256, 1024), (128, 512)):
+        hash_grid_bwd.TR_TPU, hash_grid_bwd.U_TPU = tr, u
+        try:
+            v = round(chain_time(
+                lambda a, eps: jnp.sum(hash_grid_bwd.hash_grad_embeddings(
+                    a[0], a[1] + eps, a[2], R)[:, :64]),
+                (idx, w, g_l)), 2)
+        except Exception as e:
+            v = repr(e)[:120]
+        print(f"TR={tr} U={u}: {v}", flush=True)
+
+
+if __name__ == "__main__" and __import__("os").environ.get("SWEEP"):
+    sweep()

@@ -792,6 +792,30 @@ class TestMaskedBatchNormParity:
                                    rtol=1e-4, atol=1e-5)
 
 
+def load_ref_ptv3():
+    """Reference models/pt_v3.py on CPU: stub the CUDA extensions and give
+    addict a minimal attribute-dict (Point subclasses addict.Dict and the
+    attention path reads/writes it by attribute)."""
+    if "addict" not in sys.modules:
+        class _AttrDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        mod = _stub_module("addict")
+        mod.Dict = _AttrDict
+        sys.modules["addict"] = mod
+    return load_ref(
+        "models/pt_v3.py",
+        stubs=("flash_attn", "spconv", "spconv.pytorch", "torch_scatter"),
+    )
+
+
 class TestSerializationParity:
     """SFC codes vs the reference's torch Serializator (pure torch,
     CPU-runnable with stubs: reference models/pt_v3.py:44-340).  These
@@ -799,16 +823,7 @@ class TestSerializationParity:
     checkpoints requires the codes to match exactly."""
 
     def _ref_serializator(self):
-        if "addict" not in sys.modules:
-            mod = _stub_module("addict")
-            mod.Dict = dict
-            sys.modules["addict"] = mod
-        ref = load_ref(
-            "models/pt_v3.py",
-            stubs=("flash_attn", "spconv", "spconv.pytorch",
-                   "torch_scatter"),
-        )
-        return ref.Serializator()
+        return load_ref_ptv3().Serializator()
 
     @pytest.mark.parametrize(
         "order", ["cord", "z", "z-trans", "hilbert", "hilbert-trans"])
@@ -844,3 +859,68 @@ class TestSerializationParity:
             ser.encode(jnp.asarray(g, jnp.int32), 0.01, "cord", 10),
             dtype=np.int64)
         np.testing.assert_array_equal(got, want)
+
+
+class TestSerializedAttentionParity:
+    """PatchAttention vs the reference SerializedAttention with flash OFF
+    (reference: models/pt_v3.py:626-799 dense path — the math the flash
+    kernel implements; GaussianCity's config runs flash with RPE off, so
+    the dense path is the exact semantics).  Ported qkv/proj weights,
+    identical serialized order/inverse; covers the divisible case and the
+    wrap-around padding of a partial last patch (pad slot j duplicates
+    slot j - K, models/pt_v3.py:720-731)."""
+
+    def _build(self, C, H, K, count, seed):
+        ref = load_ref_ptv3()
+        torch.manual_seed(seed)
+        attn_t = ref.SerializedAttention(
+            channels=C, num_heads=H, patch_size=K, order_index=0,
+            enable_rpe=False, enable_flash=False,
+            upcast_attention=True, upcast_softmax=True)
+        attn_t.eval()
+
+        rng = np.random.RandomState(seed)
+        feat = rng.randn(count, C).astype(np.float32)
+        perm = rng.permutation(count).astype(np.int64)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(count)
+
+        point = ref.Point(
+            feat=torch.tensor(feat),
+            offset=torch.tensor([count], dtype=torch.long),
+            serialized_order=torch.tensor(perm)[None],
+            serialized_inverse=torch.tensor(inv)[None],
+        )
+        with torch.no_grad():
+            want = t2n(attn_t(point).feat)
+
+        from gaussiancity_tpu.models.ptv3 import PatchAttention
+
+        cap = -(-count // K) * K
+        feat_p = np.zeros((cap, C), np.float32)
+        feat_p[:count] = feat
+        order_p = np.zeros(cap, np.int32)
+        order_p[:count] = perm
+        inv_p = np.zeros(cap, np.int32)
+        inv_p[:count] = inv
+
+        mod = PatchAttention(channels=C, num_heads=H, patch_size=K)
+        params = {"params": {
+            "qkv": {"kernel": lin_kernel(attn_t.qkv.weight),
+                    "bias": jnp.asarray(t2n(attn_t.qkv.bias))},
+            "proj": {"kernel": lin_kernel(attn_t.proj.weight),
+                     "bias": jnp.asarray(t2n(attn_t.proj.bias))},
+        }}
+        got = mod.apply(params, jnp.asarray(feat_p), jnp.asarray(order_p),
+                        jnp.asarray(inv_p), jnp.int32(count))
+        np.testing.assert_allclose(np.asarray(got)[:count], want,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_divisible_patches(self):
+        self._build(C=32, H=4, K=16, count=64, seed=0)
+
+    def test_wraparound_partial_patch(self):
+        self._build(C=32, H=4, K=16, count=40, seed=1)
+
+    def test_single_patch(self):
+        self._build(C=16, H=2, K=16, count=16, seed=2)
