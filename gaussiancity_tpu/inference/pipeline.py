@@ -153,25 +153,37 @@ class InferencePipeline:
     def visible_points(self, points: np.ndarray, cam_pos: np.ndarray,
                        cam_quat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """On-device visibility; returns (visible points [M, 5], ins_map).
-        (reference: scripts/inference.py:322-342)"""
-        scales3 = np.asarray(helpers.get_point_scales(
-            jnp.asarray(points[:, 3:4], jnp.float32),
-            jnp.asarray(points[:, 4], jnp.int32)), np.int32)
+        (reference: scripts/inference.py:322-342)
+
+        The id volume depends only on the points: it is built once per
+        point set (cached on device) and each frame only raycasts."""
         mins = points[:, :3].min(0)
         offsets = np.array([mins[0], mins[1], mins[2] - 1], np.int32)
         h, w, d = self.vol_shape
         W, H = self.ds.sensor_size
         K = np.asarray(self.ds.cam_k).reshape(3, 3)
+        key = (id(points), points.shape[0])
+        if getattr(self, "_vol_key", None) != key:
+            scales3 = np.asarray(helpers.get_point_scales(
+                jnp.asarray(points[:, 3:4], jnp.float32),
+                jnp.asarray(points[:, 4], jnp.int32)), np.int32)
+            loc = points[:, :3] - offsets[None, :]
+            pt_ids = jnp.arange(1, len(points) + 1, dtype=jnp.int32)
+            self._vol = jax.jit(
+                lambda l, i, s: vis.points_to_volume(l, i, s, h, w, d))(
+                jnp.asarray(loc, jnp.int32), pt_ids, jnp.asarray(scales3))
+            self._pts_dev = jnp.asarray(points, jnp.int32)
+            self._vol_key = key
         if not hasattr(self, "_vis_fn"):
             import functools
 
             self._vis_fn = jax.jit(functools.partial(
-                vis.get_visible_points,
+                vis.visible_from_volume,
                 cam_f=float(K[0, 0]),
                 cam_c=(float(K[1, 2]), float(K[0, 2])),
-                img_dims=(H, W), vol_shape=self.vol_shape))
+                img_dims=(H, W)))
         vp_map, ins_map = self._vis_fn(
-            jnp.asarray(points, jnp.int32), jnp.asarray(scales3),
+            self._vol, self._pts_dev,
             jnp.asarray(cam_pos, jnp.float32),
             jnp.asarray(cam_quat, jnp.float32),
             offsets=jnp.asarray(offsets),

@@ -96,10 +96,39 @@ def ray_voxel_intersection(
     img_dims: Tuple[int, int],  # (H, W)
     max_steps: int | None = None,
 ) -> RaycastResult:
-    """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1)."""
+    """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
+
+    Two exact accelerations over the naive march (first-hit results are
+    identical):
+
+    - the march tests a BIT-PACKED occupancy volume ([h, w, d/32] uint32,
+      ~32x smaller than the id volume) so the per-step random gather hits
+      a cache-resident table; the id is fetched once per ray at the hit
+      voxel.  At 512x512x192 / 518k rays this is the difference between a
+      201 MB and a 6.3 MB working set for ~600M gathers.
+    - rays above the highest occupied voxel skip analytically to the slab
+      boundary (cities are flat: the camera orbits far above max building
+      height, and horizon-grazing rays otherwise march the full empty sky).
+    """
     h, w, d = volume.shape
     H, W = img_dims
     vol_flat = volume.reshape(-1)
+    # occupancy bits along z: word [y, x, z // 32], bit z % 32
+    dw = -(-d // 32)
+    occ = (volume != 0)
+    pad_d = dw * 32 - d
+    if pad_d:
+        occ = jnp.concatenate(
+            [occ, jnp.zeros((h, w, pad_d), bool)], axis=-1)
+    bitpos = jnp.arange(32, dtype=jnp.uint32)
+    occ_words = jnp.sum(
+        occ.reshape(h, w, dw, 32).astype(jnp.uint32)
+        << bitpos[None, None, None, :], axis=-1)
+    occ_flat = occ_words.reshape(-1)
+    # top of the occupied region (+1): rays above it can fast-forward
+    ztop = (jnp.max(jnp.where(
+        jnp.any(occ, axis=(0, 1)), jnp.arange(dw * 32), -1))
+        .astype(jnp.float32) + 1.0)
 
     # Camera basis (ray_voxel_intersection.cu host code builds fwd/side/up
     # from viewdir and world-up by Gram-Schmidt; mirrored here)
@@ -125,6 +154,18 @@ def ray_voxel_intersection(
     # vector register to lane padding (see CLAUDE.md layout rules).
     rd = [raydir[..., i].reshape(-1) for i in range(3)]
     ro = [jnp.full((R,), cam_ori[i], jnp.float32) for i in range(3)]
+    # sky skip: a ray starting above ztop either never descends below it
+    # (miss) or can jump straight to the slab — every voxel it would have
+    # marched through is empty by construction of ztop.  Land mid-cell of
+    # the first EMPTY layer (ztop + 0.5): the march only samples cells
+    # after a crossing, so the landing cell must be provably empty even
+    # under float rounding of ro + t*rd.
+    z_land = ztop + 0.5
+    above = ro[2] > z_land
+    t_skip = jnp.where(above & (rd[2] < 0), (z_land - ro[2]) / rd[2], 0.0)
+    t_skip = jnp.maximum(t_skip, 0.0)
+    miss0 = above & (rd[2] >= 0)
+    ro = [ro[i] + t_skip * rd[i] for i in range(3)]
     ai = [jnp.floor(ro[i]).astype(jnp.int32) for i in range(3)]
     pos = [rd[i] > 0 for i in range(3)]
     dims_l = [h, w, d]
@@ -146,7 +187,7 @@ def ray_voxel_intersection(
         return (i < max_steps) & jnp.logical_not(jnp.all(done))
 
     def body(state):
-        (i, done, ax0i, ax1i, ax2i, at0, at1, at2, hit_id, hit_t) = state
+        (i, done, ax0i, ax1i, ax2i, at0, at1, at2, hit_lin, hit_t) = state
         aint = [ax0i, ax1i, ax2i]
         at_ = [at0, at1, at2]
         # smallest-t axis, tie-break x<y<z (ray_voxel_intersection.cu:127-176)
@@ -178,12 +219,17 @@ def ray_voxel_intersection(
             (new_aint[0] >= 0) & (new_aint[0] < h)
             & (new_aint[1] >= 0) & (new_aint[1] < w)
             & (new_aint[2] >= 0) & (new_aint[2] < d))
+        # occupancy test against the bit-packed words; the id volume is
+        # only touched after the loop, at each ray's hit voxel
+        lin_w = (new_aint[0] * (w * dw) + new_aint[1] * dw
+                 + (new_aint[2] >> 5))
+        lin_w = jnp.clip(lin_w, 0, h * w * dw - 1)
+        word = jnp.where(inside, occ_flat[lin_w], jnp.uint32(0))
+        bit = (word >> (new_aint[2] & 31).astype(jnp.uint32)) & 1
+        newly_hit = jnp.logical_not(done) & (bit != 0)
         lin = (new_aint[0] * strides_l[0] + new_aint[1] * strides_l[1]
                + new_aint[2])
-        lin = jnp.clip(lin, 0, h * w * d - 1)
-        blk = jnp.where(inside, vol_flat[lin], 0)
-        newly_hit = jnp.logical_not(done) & (blk != 0)
-        hit_id = jnp.where(newly_hit, blk, hit_id)
+        hit_lin = jnp.where(newly_hit, lin, hit_lin)
         hit_t = jnp.where(newly_hit, tnow, hit_t)
         live = jnp.logical_not(done)
         done = done | newly_hit | (live & quit_now)
@@ -191,18 +237,24 @@ def ray_voxel_intersection(
         outs = [jnp.where(keep, aint[k], new_aint[k]) for k in range(3)]
         outt = [jnp.where(keep, at_[k], new_at[k]) for k in range(3)]
         return (state[0] + 1, done, outs[0], outs[1], outs[2],
-                outt[0], outt[1], outt[2], hit_id, hit_t)
+                outt[0], outt[1], outt[2], hit_lin, hit_t)
 
     state0 = (
         jnp.int32(0),
-        jnp.zeros((R,), dtype=bool),
+        miss0,
         ai[0], ai[1], ai[2],
         at[0], at[1], at[2],
-        jnp.zeros((R,), dtype=jnp.int32),
+        jnp.full((R,), -1, dtype=jnp.int32),
         jnp.full((R,), jnp.inf, dtype=jnp.float32),
     )
     out_state = jax.lax.while_loop(cond, body, state0)
-    hit_id, hit_t = out_state[8], out_state[9]
+    hit_lin, hit_t = out_state[8], out_state[9]
+    hit = hit_lin >= 0
+    hit_id = jnp.where(
+        hit, vol_flat[jnp.clip(hit_lin, 0, h * w * d - 1)], 0)
+    # depth is measured from the true camera origin (t_skip happened
+    # before the march started)
+    hit_t = jnp.where(hit, hit_t + t_skip, hit_t)
     return RaycastResult(
         voxel_id=hit_id.reshape(H, W),
         depth=hit_t.reshape(H, W),
@@ -233,7 +285,22 @@ def get_visible_points(
     # z offset convention: z -= z_min - 1 (dataset_generator.py:1357-1361)
     pt_ids = jnp.arange(1, N + 1, dtype=jnp.int32)
     vol = points_to_volume(loc, pt_ids, scales3, h, w, d, valid=valid)
+    return visible_from_volume(vol, points, cam_pos, cam_quat, cam_f,
+                               cam_c, img_dims, offsets)
 
+
+def visible_from_volume(
+    vol: jnp.ndarray,  # [h, w, d] int32 id volume (1-based point ids)
+    points: jnp.ndarray,  # [N, 5]
+    cam_pos: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    cam_f: float,
+    cam_c: Tuple[float, float],
+    img_dims: Tuple[int, int],
+    offsets: jnp.ndarray,
+):
+    """Raycast against a prebuilt id volume (the volume depends only on
+    the points: trajectory renderers build it once and raycast per frame)."""
     cam_pos_loc = (cam_pos - offsets).astype(jnp.float32)
     # look_at = pos + R[:, 0] * 1000 (utils/helpers.py:162-164)
     Rm = quat_xyzw_to_matrix(cam_quat.astype(jnp.float32))

@@ -161,8 +161,16 @@ def run_inference(args) -> int:
     projections, centers = get_city_projections(city_dir)
 
     pipeline = InferencePipeline(cfg, models, max_points=args.max_points)
+    # Orbit around the loaded city map's actual center.  The reference
+    # hardcodes PROJ_SIZE // 2 (scripts/inference.py:174-176) because its
+    # cities are exactly proj_size wide; centering on the real map keeps
+    # smaller/demo cities in frame instead of orbiting empty space.
+    map_size = next(iter(projections.values()))["SEG"].shape[0]
+    if map_size != cfg.dataset.proj_size:
+        logging.info("city map is %d px (proj_size %d): centering orbit "
+                     "on the map", map_size, cfg.dataset.proj_size)
     poses = get_orbit_camera_poses(
-        cfg.dataset.proj_size, n_points=args.frames,
+        map_size, n_points=args.frames,
         radius=args.radius, altitude=args.altitude, rng=rng)
 
     z_dim = cfg.network.z_dim

@@ -156,3 +156,35 @@ class TestVisibility:
             20.0, (4.0, 4.0), (8, 8))
         ids = np.asarray(res.voxel_id)
         assert (ids == 5).all()
+
+    def test_raycast_sky_skip_matches_scalar_dda(self):
+        # Camera high above the occupied slab: the analytic sky-skip and
+        # bit-packed occupancy march must reproduce the naive DDA exactly
+        # (incl. upward-pointing rays -> miss, grazing rays, and depth t
+        # measured from the true origin).
+        rng = np.random.default_rng(7)
+        vol = np.zeros((24, 24, 40), np.int32)
+        occ = rng.random((24, 24, 6)) > 0.7  # occupied only at z < 6
+        vol[:, :, :6][occ] = rng.integers(1, 50, occ.sum())
+        ori = np.array([12.2, 11.7, 35.4], np.float32)  # far above ztop
+        cam_dir = np.array([0.4, 0.3, -1.0], np.float32)  # looking down
+        up = np.array([0.0, 0.0, 1.0], np.float32)
+        H, W = 10, 14
+        f = 4.0  # wide FoV: some rays point up (miss), some graze
+        c = (H / 2.0, W / 2.0)
+        res = ray_voxel_intersection(
+            jnp.asarray(vol), jnp.asarray(ori), jnp.asarray(cam_dir),
+            jnp.asarray(up), f, c, (H, W))
+        ids = np.asarray(res.voxel_id)
+        ts = np.asarray(res.depth)
+        rds = np.asarray(res.raydirs)
+        n_hit = 0
+        for py in range(H):
+            for px in range(W):
+                want_id, want_t = numpy_dda(vol, ori, rds[py, px])
+                assert ids[py, px] == want_id, (py, px)
+                if want_id != 0:
+                    n_hit += 1
+                    np.testing.assert_allclose(ts[py, px], want_t,
+                                               rtol=1e-4)
+        assert n_hit > 10  # the scene is actually visible
