@@ -56,6 +56,13 @@ def load_generator(ckpt_dir: str, epoch: Optional[int] = None
     g_vars = {"params": state["g_params"]}
     if state.get("g_stats"):
         g_vars["batch_stats"] = state["g_stats"]
+    elif cfg.network.ptv3.enabled:
+        # a PTv3 generator applied at eval reads the batch_stats
+        # collection; a ckpt without it would crash deep inside apply
+        raise ValueError(
+            f"checkpoint {ckpt_dir} has a PTv3 generator but no BN "
+            "running stats ('g_stats') — it predates the running-average "
+            "BatchNorm; re-save it from a resumed training run")
     z_bank = state.get("z_bank")
     module = Generator(cfg=cfg.network, n_classes=cfg.dataset.n_classes,
                        proj_size=cfg.dataset.proj_size)

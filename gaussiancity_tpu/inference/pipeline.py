@@ -62,12 +62,15 @@ def get_quat_from_look_at(cam_pos: np.ndarray, look_at: np.ndarray):
 def get_orbit_camera_poses(proj_size: int, n_points: int = 24,
                            radius: Optional[int] = None,
                            altitude: Optional[int] = None,
-                           rng: Optional[np.random.Generator] = None):
-    """Orbit trajectory (reference: scripts/inference.py:167-199)."""
+                           rng: Optional[np.random.Generator] = None,
+                           center: Optional[Tuple[int, int]] = None):
+    """Orbit trajectory (reference: scripts/inference.py:167-199).
+    ``center=(cx, cy)`` overrides the default map-center for non-square
+    maps (cx pairs with point x / map columns)."""
     rng = rng or np.random.default_rng()
     radius = radius if radius is not None else int(rng.integers(256, 768))
     altitude = altitude if altitude is not None else int(rng.integers(512, 768))
-    cx = cy = proj_size // 2
+    cx, cy = center if center is not None else (proj_size // 2,) * 2
     poses = []
     for i in range(n_points):
         theta = 2 * math.pi / n_points * i
@@ -162,18 +165,26 @@ class InferencePipeline:
         h, w, d = self.vol_shape
         W, H = self.ds.sensor_size
         K = np.asarray(self.ds.cam_k).reshape(3, 3)
-        key = (id(points), points.shape[0])
-        if getattr(self, "_vol_key", None) != key:
+        # cache key: the array object itself.  Holding the reference keeps
+        # its id from being recycled; callers must not mutate in place
+        # (render_trajectory builds points once per trajectory).
+        if getattr(self, "_pts_np", None) is not points:
+            import functools
+
+            if not hasattr(self, "_vol_fn"):
+                self._vol_fn = jax.jit(functools.partial(
+                    vis.points_to_volume, h=h, w=w, d=d))
+                self._occ_fn = jax.jit(vis.pack_occupancy)
             scales3 = np.asarray(helpers.get_point_scales(
                 jnp.asarray(points[:, 3:4], jnp.float32),
                 jnp.asarray(points[:, 4], jnp.int32)), np.int32)
             loc = points[:, :3] - offsets[None, :]
             pt_ids = jnp.arange(1, len(points) + 1, dtype=jnp.int32)
-            self._vol = jax.jit(
-                lambda l, i, s: vis.points_to_volume(l, i, s, h, w, d))(
+            self._vol = self._vol_fn(
                 jnp.asarray(loc, jnp.int32), pt_ids, jnp.asarray(scales3))
+            self._occ = self._occ_fn(self._vol)
             self._pts_dev = jnp.asarray(points, jnp.int32)
-            self._vol_key = key
+            self._pts_np = points
         if not hasattr(self, "_vis_fn"):
             import functools
 
@@ -187,6 +198,7 @@ class InferencePipeline:
             jnp.asarray(cam_pos, jnp.float32),
             jnp.asarray(cam_quat, jnp.float32),
             offsets=jnp.asarray(offsets),
+            occupancy=self._occ,
         )
         vp = np.asarray(vp_map)
         ins_map = np.asarray(ins_map)

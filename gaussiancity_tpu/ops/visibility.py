@@ -86,6 +86,29 @@ class RaycastResult(NamedTuple):
     raydirs: jnp.ndarray  # [H, W, 3]
 
 
+def pack_occupancy(volume: jnp.ndarray):
+    """(occ_words [h, w, ceil(d/32)] uint32 — bit z%32 of word z//32 set
+    iff volume[y, x, z] != 0; ztop f32 — 1 + highest occupied z).
+
+    Built once per volume: trajectory renderers cache it next to the id
+    volume so per-frame raycasts don't re-pack 50M voxels."""
+    h, w, d = volume.shape
+    dw = -(-d // 32)
+    occ = volume != 0
+    pad_d = dw * 32 - d
+    if pad_d:
+        occ = jnp.concatenate(
+            [occ, jnp.zeros((h, w, pad_d), bool)], axis=-1)
+    bitpos = jnp.arange(32, dtype=jnp.uint32)
+    occ_words = jnp.sum(
+        occ.reshape(h, w, dw, 32).astype(jnp.uint32)
+        << bitpos[None, None, None, :], axis=-1)
+    ztop = (jnp.max(jnp.where(
+        jnp.any(occ, axis=(0, 1)), jnp.arange(dw * 32), -1))
+        .astype(jnp.float32) + 1.0)
+    return occ_words, ztop
+
+
 def ray_voxel_intersection(
     volume: jnp.ndarray,  # [h, w, d] int32, 0 = empty
     cam_ori: jnp.ndarray,  # [3] in volume coords (y, x, z) order
@@ -95,6 +118,7 @@ def ray_voxel_intersection(
     cam_c: Tuple[float, float],  # (cy, cx) principal point
     img_dims: Tuple[int, int],  # (H, W)
     max_steps: int | None = None,
+    occupancy=None,  # optional prebuilt pack_occupancy(volume)
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
@@ -113,22 +137,11 @@ def ray_voxel_intersection(
     h, w, d = volume.shape
     H, W = img_dims
     vol_flat = volume.reshape(-1)
-    # occupancy bits along z: word [y, x, z // 32], bit z % 32
-    dw = -(-d // 32)
-    occ = (volume != 0)
-    pad_d = dw * 32 - d
-    if pad_d:
-        occ = jnp.concatenate(
-            [occ, jnp.zeros((h, w, pad_d), bool)], axis=-1)
-    bitpos = jnp.arange(32, dtype=jnp.uint32)
-    occ_words = jnp.sum(
-        occ.reshape(h, w, dw, 32).astype(jnp.uint32)
-        << bitpos[None, None, None, :], axis=-1)
+    if occupancy is None:
+        occupancy = pack_occupancy(volume)
+    occ_words, ztop = occupancy
+    dw = occ_words.shape[-1]
     occ_flat = occ_words.reshape(-1)
-    # top of the occupied region (+1): rays above it can fast-forward
-    ztop = (jnp.max(jnp.where(
-        jnp.any(occ, axis=(0, 1)), jnp.arange(dw * 32), -1))
-        .astype(jnp.float32) + 1.0)
 
     # Camera basis (ray_voxel_intersection.cu host code builds fwd/side/up
     # from viewdir and world-up by Gram-Schmidt; mirrored here)
@@ -298,6 +311,7 @@ def visible_from_volume(
     cam_c: Tuple[float, float],
     img_dims: Tuple[int, int],
     offsets: jnp.ndarray,
+    occupancy=None,  # optional prebuilt pack_occupancy(vol)
 ):
     """Raycast against a prebuilt id volume (the volume depends only on
     the points: trajectory renderers build it once and raycast per frame)."""
@@ -310,7 +324,8 @@ def visible_from_volume(
     ori = jnp.stack([cam_pos_loc[1], cam_pos_loc[0], cam_pos_loc[2]])
     vdir = jnp.stack([look_dir[1], look_dir[0], look_dir[2]])
     res = ray_voxel_intersection(
-        vol, ori, vdir, jnp.asarray([0.0, 0.0, 1.0]), cam_f, cam_c, img_dims)
+        vol, ori, vdir, jnp.asarray([0.0, 0.0, 1.0]), cam_f, cam_c,
+        img_dims, occupancy=occupancy)
     vp_map = res.voxel_id - 1  # -1 = miss
     ins = points[:, 4]
     ins_map = jnp.where(vp_map >= 0, ins[jnp.maximum(vp_map, 0)], 0)

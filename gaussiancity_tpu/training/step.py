@@ -242,7 +242,11 @@ class Trainer:
         # image, so map it to pre-flip sensor coordinates and flip the
         # small render instead.
         Wc, Hc = crop_size if crop_size is not None else self.train_crop_size
-        xy = batch["crp_xy"][0]
+        # clamp like the old render-then-dynamic_slice path did: a
+        # malformed crp_xy must stay inside the physical sensor
+        xy = jnp.clip(batch["crp_xy"][0],
+                      0, jnp.asarray([self.camera.sensor_size[0] - Wc,
+                                      self.camera.sensor_size[1] - Hc]))
         W, H = self.camera.sensor_size
         xw = (W - xy[0] - Wc) if self.flip_lr else xy[0]
         yw = (H - xy[1] - Hc) if self.flip_ud else xy[1]

@@ -165,13 +165,15 @@ def run_inference(args) -> int:
     # hardcodes PROJ_SIZE // 2 (scripts/inference.py:174-176) because its
     # cities are exactly proj_size wide; centering on the real map keeps
     # smaller/demo cities in frame instead of orbiting empty space.
-    map_size = next(iter(projections.values()))["SEG"].shape[0]
-    if map_size != cfg.dataset.proj_size:
-        logging.info("city map is %d px (proj_size %d): centering orbit "
-                     "on the map", map_size, cfg.dataset.proj_size)
+    map_hw = next(iter(projections.values()))["SEG"].shape
+    if map_hw[0] != cfg.dataset.proj_size or map_hw[1] != map_hw[0]:
+        logging.info("city map is %sx%s px (proj_size %d): centering "
+                     "orbit on the map", map_hw[1], map_hw[0],
+                     cfg.dataset.proj_size)
     poses = get_orbit_camera_poses(
-        map_size, n_points=args.frames,
-        radius=args.radius, altitude=args.altitude, rng=rng)
+        max(map_hw), n_points=args.frames,
+        radius=args.radius, altitude=args.altitude, rng=rng,
+        center=(map_hw[1] // 2, map_hw[0] // 2))
 
     z_dim = cfg.network.z_dim
     for name in ("BLDG", "CAR"):

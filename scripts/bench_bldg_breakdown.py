@@ -10,27 +10,9 @@ import time
 import numpy as np
 
 
-def chain_time(make_step, args, k_lo=1, k_hi=4):
-    import jax
-    import jax.numpy as jnp
-
-    def run(k):
-        @jax.jit
-        def chained(*a):
-            def body(_, acc):
-                return make_step(a, acc * 0.0)
-            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-        out = chained(*args)
-        out.block_until_ready()
-        t0 = time.time()
-        out = chained(*args)
-        float(out)
-        return time.time() - t0
-
-    t_lo = min(run(k_lo) for _ in range(2))
-    t_hi = min(run(k_hi) for _ in range(2))
-    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _bench_util import chain_time  # noqa: E402
 
 
 def main():

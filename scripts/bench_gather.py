@@ -11,27 +11,13 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_gather.py
 import time
 
 
-def chain_time(make_step, args, k_lo=1, k_hi=5):
-    import jax
-    import jax.numpy as jnp
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _bench_util import chain_time  # noqa: E402
 
-    def run(k):
-        @jax.jit
-        def chained(*a):
-            def body(_, acc):
-                return make_step(a, acc * 0.0)
-            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        out = chained(*args)
-        out.block_until_ready()
-        t0 = time.time()
-        out = chained(*args)
-        float(out)
-        return time.time() - t0
-
-    t_lo = min(run(k_lo) for _ in range(3))
-    t_hi = min(run(k_hi) for _ in range(3))
-    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+def _ct(ms, a, k_lo=1, k_hi=5):
+    return chain_time(ms, a, k_lo, k_hi)
 
 
 def main():
@@ -55,13 +41,13 @@ def main():
         print(f"{name:36s} {v}", flush=True)
 
     # 1. plain row gather [M] from [R, 8]
-    section("rows_f32_ms", lambda: chain_time(
+    section("rows_f32_ms", lambda: _ct(
         lambda a, eps: jnp.sum(a[1][a[0] + eps.astype(jnp.int32)][:, :2, :2, :]),
         (idx, emb)))
 
     # 2. bf16 table
     embh = emb.astype(jnp.bfloat16)
-    section("rows_bf16_ms", lambda: chain_time(
+    section("rows_bf16_ms", lambda: _ct(
         lambda a, eps: jnp.sum(
             a[1][a[0] + eps.astype(jnp.int32)][:, :2, :2, :]
             .astype(jnp.float32)),
@@ -69,7 +55,7 @@ def main():
 
     # 3. transposed table, gather on minor axis [8, R][:, idx]
     embt = emb.T.copy()  # [8, R]
-    section("cols_f32_ms", lambda: chain_time(
+    section("cols_f32_ms", lambda: _ct(
         lambda a, eps: jnp.sum(
             a[1][:, a[0] + eps.astype(jnp.int32)][:, :, :2, :2]),
         (idx, embt)))
@@ -77,7 +63,7 @@ def main():
     # 4. take_along_axis formulation on flattened channel-major table
     # out[c, m] = embt[c, idx[m]]
     idx_flat = idx.reshape(1, -1)
-    section("taa_cols_f32_ms", lambda: chain_time(
+    section("taa_cols_f32_ms", lambda: _ct(
         lambda a, eps: jnp.sum(jnp.take_along_axis(
             a[1], a[0] + eps.astype(jnp.int32), axis=1)[:, :128]),
         (jnp.broadcast_to(idx_flat, (C, idx_flat.shape[1])), embt)))
@@ -86,7 +72,7 @@ def main():
     # lane-aligned gathers; 16x bytes). Table shrunk 16x to keep memory.
     emb128 = jax.random.normal(rng, (L * ROWS // 16, 128), jnp.float32)
     idx16 = idx // 16
-    section("rows128_f32_ms", lambda: chain_time(
+    section("rows128_f32_ms", lambda: _ct(
         lambda a, eps: jnp.sum(
             a[1][a[0] + eps.astype(jnp.int32)][:, :2, :2, :]),
         (idx16, emb128)))
@@ -102,7 +88,7 @@ def main():
         oh = jax.nn.one_hot(ii, ROWS14, dtype=jnp.bfloat16)
         return jnp.sum((oh @ a[1]).astype(jnp.float32)[:256])
 
-    section("onehot14_1level_ms", lambda: chain_time(onehot_mm, (idx14, emb14)))
+    section("onehot14_1level_ms", lambda: _ct(onehot_mm, (idx14, emb14)))
 
     # 7. sorted gather: sort indices first (locality), gather, unsort
     def sorted_gather(a, eps):
@@ -111,13 +97,13 @@ def main():
         vals = a[1][ii[si]]
         return jnp.sum(vals[:128])
 
-    section("sorted_rows_f32_ms", lambda: chain_time(sorted_gather, (idx, emb)))
+    section("sorted_rows_f32_ms", lambda: _ct(sorted_gather, (idx, emb)))
 
     # 8. the index computation alone (integer hash math, no gather)
     from gaussiancity_tpu.ops.hash_grid import _level_geometry
 
     x = jax.random.uniform(jax.random.PRNGKey(2), (N, 5), minval=-1, maxval=1)
-    section("index_math_ms", lambda: chain_time(
+    section("index_math_ms", lambda: _ct(
         lambda a, eps: jnp.sum(_level_geometry(
             a[0] + eps, 5, L, 16, 2048, 19, 1.0)[1][:, :, :128]),
         (x,)))

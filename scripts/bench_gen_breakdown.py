@@ -16,28 +16,13 @@ import time
 import numpy as np
 
 
-def chain_time(make_step, args, k_lo=2, k_hi=12):
-    """make_step(args, eps) -> scalar; eps is a data-dependence scalar."""
-    import jax
-    import jax.numpy as jnp
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _bench_util import chain_time  # noqa: E402
 
-    def run(k):
-        @jax.jit
-        def chained(*a):
-            def body(_, acc):
-                return make_step(a, acc * 0.0)
-            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        out = chained(*args)
-        out.block_until_ready()
-        t0 = time.time()
-        out = chained(*args)
-        val = float(out)  # host fetch forces real completion
-        return time.time() - t0
-
-    t_lo = min(run(k_lo) for _ in range(3))
-    t_hi = min(run(k_hi) for _ in range(3))
-    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+def _ct(ms, a, k_lo=2, k_hi=12):
+    return chain_time(ms, a, k_lo, k_hi)
 
 
 def main():
@@ -81,7 +66,7 @@ def main():
                           net.hash_grid_map_size, 1.0)
         return jnp.sum(out[:8, :8])
 
-    section("hash_fwd_ms", lambda: chain_time(hg_step, (x, emb)))
+    section("hash_fwd_ms", lambda: _ct(hg_step, (x, emb)))
 
     hg_loss = lambda a, b: jnp.sum(hash_encode(
         a, b, D, L, net.hash_grid_base_res, P,
@@ -91,7 +76,7 @@ def main():
         gx, ge = jax.grad(hg_loss, argnums=(0, 1))(a[0] + eps, a[1])
         return jnp.sum(gx[:8]) + jnp.sum(ge[:8, :])
 
-    section("hash_fwd_bwd_ms", lambda: chain_time(hg_bwd_step, (x, emb)))
+    section("hash_fwd_bwd_ms", lambda: _ct(hg_bwd_step, (x, emb)))
 
     # --- GlobalEncoder on 2048^2 maps
     ge_mod = GlobalEncoder(net.global_encoder_n_blocks, net.encoder_out_dim - 3)
@@ -103,7 +88,7 @@ def main():
         return jnp.sum(ge_mod.apply(a[0], a[1] + eps, a[2]))
 
     section("global_enc_fwd_ms",
-            lambda: chain_time(ge_step, (ge_params, hf, seg)))
+            lambda: _ct(ge_step, (ge_params, hf, seg)))
 
     def ge_bwd_step(a, eps):
         g = jax.grad(lambda h: jnp.sum(ge_mod.apply(a[0], h, a[2]) ** 2))(
@@ -111,7 +96,7 @@ def main():
         return jnp.sum(g[:, :8, :8, :])
 
     section("global_enc_fwd_bwd_ms",
-            lambda: chain_time(ge_bwd_step, (ge_params, hf, seg)))
+            lambda: _ct(ge_bwd_step, (ge_params, hf, seg)))
 
     # --- attr MLP (in_dim 128, hidden 512)
     mlp = GaussianAttrMLP(
@@ -127,7 +112,7 @@ def main():
         out = mlp.apply(a[0], a[1] + eps, a[2], None)
         return jnp.sum(out["rgb"][:, :8])
 
-    section("attr_mlp_fwd_ms", lambda: chain_time(mlp_step, (mp, feat, oh)))
+    section("attr_mlp_fwd_ms", lambda: _ct(mlp_step, (mp, feat, oh)))
 
     def mlp_bwd_step(a, eps):
         g = jax.grad(lambda f: sum(
@@ -136,7 +121,7 @@ def main():
         return jnp.sum(g[:, :8, :8])
 
     section("attr_mlp_fwd_bwd_ms",
-            lambda: chain_time(mlp_bwd_step, (mp, feat, oh)))
+            lambda: _ct(mlp_bwd_step, (mp, feat, oh)))
 
     # --- rasterizer at 16k points, 640x448 crop
     from gaussiancity_tpu.camera import CameraModel
@@ -164,14 +149,14 @@ def main():
         img = rasterize(a[0] + eps, *a[1:], cam, rcfg).image
         return jnp.sum(img[:8, :8])
 
-    section("raster16k_fwd_ms", lambda: chain_time(r_step, scene, 1, 6))
+    section("raster16k_fwd_ms", lambda: _ct(r_step, scene, 1, 6))
 
     def r_bwd_step(a, eps):
         g = jax.grad(lambda m: jnp.sum(
             rasterize(m, *a[1:], cam, rcfg).image ** 2))(a[0] + eps)
         return jnp.sum(g[:8])
 
-    section("raster16k_fwd_bwd_ms", lambda: chain_time(r_bwd_step, scene, 1, 6))
+    section("raster16k_fwd_bwd_ms", lambda: _ct(r_bwd_step, scene, 1, 6))
 
 
 if __name__ == "__main__":
