@@ -206,6 +206,11 @@ class PTv3Config(_Base):
     # the reference shrinks dynamically via torch.unique). Real shell data
     # merges >= 8 points/cluster, so 2 is conservative.
     pool_capacity_divisor: int = 1
+    # Rematerialize attention logits / conv gathers in the backward:
+    # ~1.7 GB of residuals saved at 16k points for ~18 ms/step recompute.
+    # Off by default (training shapes fit HBM; fwd-only inference never
+    # materializes backward residuals).
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -29,6 +29,7 @@ for static shapes and XLA:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -101,6 +102,15 @@ class MaskedBatchNorm(nn.Module):
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         return y.astype(self.dtype) if self.dtype is not None else y
+
+
+def _maybe_remat(f, remat: bool):
+    """Rematerialize attention logits / conv neighbor gathers in the
+    backward.  Saves residual memory for memory-constrained configs; at
+    the 16k-point training shapes the recompute costs ~18 ms/step
+    (cfg.remat=False is the default: ~1.7 GB of residuals on a 16 GB
+    chip; forward-only inference never materializes them either way)."""
+    return jax.checkpoint(f) if remat else f
 
 
 class LayerNormT(nn.Module):
@@ -203,6 +213,7 @@ class SubMConv(nn.Module):
     use_bias: bool = True
     depth: int = 10
     dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feat, grid_coord, valid, neighbors=None):
@@ -231,7 +242,6 @@ class SubMConv(nn.Module):
 
         # checkpoint: recompute the neighbor gather in the backward instead
         # of storing a [N, C] residual per kernel offset
-        @jax.checkpoint
         def body(acc, xs):
             idx_k, found_k, w = xs
             nb_feat = feat_m[idx_k] * found_k[:, None].astype(feat_m.dtype)
@@ -239,7 +249,8 @@ class SubMConv(nn.Module):
                 nb_feat, w, preferred_element_type=jnp.float32), None
 
         acc0 = jnp.zeros((N, self.features), dtype=jnp.float32)
-        out, _ = jax.lax.scan(body, acc0, (nb_idx, found, W))
+        out, _ = jax.lax.scan(_maybe_remat(body, self.remat), acc0,
+                              (nb_idx, found, W))
         if self.dtype is not None:
             out = out.astype(self.dtype)
         if self.use_bias:
@@ -266,6 +277,7 @@ class PatchAttention(nn.Module):
     num_heads: int
     patch_size: int
     dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feat, order, inverse, count):
@@ -305,7 +317,6 @@ class PatchAttention(nn.Module):
         qkv_g = qkv_s.reshape(n_patches // group, group, K, 3, H, hd)
         kmask_g = kmask.reshape(n_patches // group, group, 1, 1, K)
 
-        @jax.checkpoint
         def per_group(carry, xs):
             qkv_p, mask_p = xs  # [G, K, 3, H, hd], [G, 1, 1, K]
             q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)  # [G, H, K, hd]
@@ -319,6 +330,7 @@ class PatchAttention(nn.Module):
             o = jnp.einsum("ghkm,ghmd->ghkd", attn, vv)
             return carry, o.transpose(0, 2, 1, 3).reshape(group * K, C)
 
+        per_group = _maybe_remat(per_group, self.remat)
         if n_patches == group:
             _, out = per_group(0, (qkv_g[0], kmask_g[0]))
         else:
@@ -344,6 +356,7 @@ class PTBlock(nn.Module):
     drop_path: float
     enable_cpe: bool = True
     dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feat, grid_coord, valid, orders_data, count,
@@ -361,8 +374,8 @@ class PTBlock(nn.Module):
         if self.enable_cpe:
             shortcut = feat
             x = SubMConv(self.channels, 3, name="cpe_conv",
-                         dtype=self.dtype)(feat, grid_coord, valid,
-                                           neighbors)
+                         dtype=self.dtype, remat=self.remat)(
+                feat, grid_coord, valid, neighbors)
             x = TorchDense(self.channels, name="cpe_fc", dtype=self.dtype)(x)
             x = LayerNormT(name="cpe_norm", dtype=self.dtype)(x)
             feat = shortcut + x
@@ -370,7 +383,8 @@ class PTBlock(nn.Module):
         shortcut = feat
         x = LayerNormT(name="norm1", dtype=self.dtype)(feat)
         x = PatchAttention(self.channels, self.num_heads, self.patch_size,
-                           name="attn", dtype=self.dtype)(
+                           name="attn", dtype=self.dtype,
+                           remat=self.remat)(
             x, order, inverse, count)
         feat = shortcut + dp(x)
 
@@ -547,7 +561,8 @@ class PTv3Single(nn.Module):
 
         # stem: SubMConv k5 -> BN -> GELU (models/pt_v3.py:1104-1134)
         x = SubMConv(cfg.enc_channels[0], 5, name="embedding_stem",
-                     dtype=self.dtype)(feat, grid_coord, valid)
+                     dtype=self.dtype, remat=cfg.remat)(
+            feat, grid_coord, valid)
         x = MaskedBatchNorm(name="embedding_norm", dtype=self.dtype,
                             axis_name=self.axis_name)(x, valid, train)
         x = gelu(x)
@@ -599,6 +614,7 @@ class PTv3Single(nn.Module):
                     drop_path=enc_dp[di],
                     enable_cpe=cfg.enable_cpe,
                     dtype=self.dtype,
+                    remat=cfg.remat,
                     name=f"enc{s}_block{b}",
                 )(state["feat"], state["grid_coord"], state["valid"],
                   orders_data, state["count"], train,
@@ -634,6 +650,7 @@ class PTv3Single(nn.Module):
                     drop_path=dp_slice[b],
                     enable_cpe=cfg.enable_cpe,
                     dtype=self.dtype,
+                    remat=cfg.remat,
                     name=f"dec{s}_block{b}",
                 )(state["feat"], state["grid_coord"], state["valid"],
                   orders_data, state["count"], train,
