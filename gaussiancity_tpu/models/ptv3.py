@@ -167,8 +167,6 @@ def subm_neighbors(grid_coord, valid, kernel_size: int, depth: int = 10):
     keys = voxel_keys(grid_coord, valid, depth)
     order = jnp.argsort(keys)
     sorted_keys = keys[order]
-    inverse = jnp.zeros((N,), jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32))
     offs = jnp.asarray(
         [dx * M * M + dy * M + dz
          for dx in range(-r, r + 1)
@@ -177,26 +175,27 @@ def subm_neighbors(grid_coord, valid, kernel_size: int, depth: int = 10):
     K = offs.shape[0]
 
     # merged ranks: queries at positions [0, N) so a stable sort puts a
-    # query BEFORE equal keys -> rank = #{keys < q} = searchsorted-left
+    # query BEFORE equal keys -> rank = #{keys < q} = searchsorted-left.
+    # The query payload is the ORIGINAL point id (order[j]): the second
+    # payload sort then lands ranks directly in original point order — a
+    # scatter-free permutation apply, no inverse gather needed.
     queries = sorted_keys[None, :] + offs[:, None]  # [K, N], rows sorted
     akeys = jnp.broadcast_to(sorted_keys[None], (K, N))
     cat = jnp.concatenate([queries, akeys], axis=1)  # [K, 2N]
-    pay = jnp.broadcast_to(
-        jnp.arange(2 * N, dtype=jnp.int32)[None], (K, 2 * N))
+    pay = jnp.concatenate([
+        jnp.broadcast_to(order.astype(jnp.int32)[None], (K, N)),
+        jnp.broadcast_to(
+            jnp.arange(N, 2 * N, dtype=jnp.int32)[None], (K, N)),
+    ], axis=1)
     _, sp = jax.lax.sort((cat, pay), dimension=1, num_keys=1)
     is_key = (sp >= N).astype(jnp.int32)
     rank = jnp.cumsum(is_key, axis=1) - is_key  # keys strictly before slot
-    # compact ranks back to query order j = sp (for sp < N): a second
-    # payload sort is a permutation apply without TPU scatter
-    _, rank_q = jax.lax.sort((sp, rank), dimension=1, num_keys=1)
-    pos_sorted = jnp.clip(rank_q[:, :N], 0, N - 1)  # [K, N]
-    found_sorted = (jnp.take_along_axis(akeys, pos_sorted, axis=1)
-                    == queries)
-
-    # back to original point order: query row j is sorted slot j
-    pos = pos_sorted[:, inverse]
-    found = found_sorted[:, inverse] & valid[None, :]
+    _, rank_by_orig = jax.lax.sort((sp, rank), dimension=1, num_keys=1)
+    pos = jnp.clip(rank_by_orig[:, :N], 0, N - 1)  # [K, N] by point id
     nb_idx = order[pos]
+    # hit test in original order against the (small) key array: the
+    # neighbor is real iff its voxel key equals key + offset
+    found = (keys[nb_idx] == keys[None, :] + offs[:, None]) & valid[None, :]
     return nb_idx, found
 
 
