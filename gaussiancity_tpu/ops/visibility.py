@@ -119,6 +119,7 @@ def ray_voxel_intersection(
     img_dims: Tuple[int, int],  # (H, W)
     max_steps: int | None = None,
     occupancy=None,  # optional prebuilt pack_occupancy(volume)
+    n_bands: int = 8,  # independent row-band loops (see below)
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
@@ -180,7 +181,6 @@ def ray_voxel_intersection(
     miss0 = above & (rd[2] >= 0)
     ro = [ro[i] + t_skip * rd[i] for i in range(3)]
     ai = [jnp.floor(ro[i]).astype(jnp.int32) for i in range(3)]
-    pos = [rd[i] > 0 for i in range(3)]
     dims_l = [h, w, d]
     strides_l = [w * d, d, 1]
 
@@ -195,73 +195,107 @@ def ray_voxel_intersection(
     if max_steps is None:
         max_steps = h + w + d + 3
 
-    def cond(state):
-        i, done = state[0], state[1]
-        return (i < max_steps) & jnp.logical_not(jnp.all(done))
+    # Band the rays over image rows, one while loop per band (lax.scan):
+    # a done ray in a lockstep loop still issues a masked gather each
+    # step, so the loop runs as long as the WORST ray anywhere; per-band
+    # loops stop when the band's own worst ray is done (top-of-frame sky
+    # bands exit almost immediately, near-ground bands hit early — only
+    # horizon bands march far).
+    B = max(1, min(n_bands, R))
+    Rb = -(-R // B)
+    Rp = Rb * B
 
-    def body(state):
-        (i, done, ax0i, ax1i, ax2i, at0, at1, at2, hit_lin, hit_t) = state
-        aint = [ax0i, ax1i, ax2i]
-        at_ = [at0, at1, at2]
-        # smallest-t axis, tie-break x<y<z (ray_voxel_intersection.cu:127-176)
-        t01 = at_[0] <= at_[1]
-        t02 = at_[0] <= at_[2]
-        t12 = at_[1] <= at_[2]
-        sel0 = t01 & t02
-        sel1 = jnp.logical_not(sel0) & t12
-        sel2 = jnp.logical_not(sel0) & jnp.logical_not(t12)
-        tnow = jnp.where(sel0, at_[0], jnp.where(sel1, at_[1], at_[2]))
+    def bandify(v, fill):
+        if Rp != R:
+            v = jnp.concatenate(
+                [v, jnp.full((Rp - R,), fill, v.dtype)])
+        return v.reshape(B, Rb)
 
-        new_aint = []
-        new_at = []
-        quit_now = jnp.zeros_like(done)
-        for i_ax, sel in enumerate((sel0, sel1, sel2)):
-            step = jnp.where(pos[i_ax], 1, -1)
-            cur = aint[i_ax] + jnp.where(sel, step, 0)
-            out_hi = pos[i_ax] & (cur >= dims_l[i_ax])
-            out_lo = jnp.logical_not(pos[i_ax]) & (cur < 0)
-            quit_now = quit_now | (sel & (out_hi | out_lo))
-            nt = jnp.where(
-                pos[i_ax],
-                (cur.astype(jnp.float32) + 1.0 - ro[i_ax]) / rd[i_ax],
-                (cur.astype(jnp.float32) - ro[i_ax]) / rd[i_ax])
-            new_aint.append(jnp.where(sel, cur, aint[i_ax]))
-            new_at.append(jnp.where(sel, nt, at_[i_ax]))
-
-        inside = (
-            (new_aint[0] >= 0) & (new_aint[0] < h)
-            & (new_aint[1] >= 0) & (new_aint[1] < w)
-            & (new_aint[2] >= 0) & (new_aint[2] < d))
-        # occupancy test against the bit-packed words; the id volume is
-        # only touched after the loop, at each ray's hit voxel
-        lin_w = (new_aint[0] * (w * dw) + new_aint[1] * dw
-                 + (new_aint[2] >> 5))
-        lin_w = jnp.clip(lin_w, 0, h * w * dw - 1)
-        word = jnp.where(inside, occ_flat[lin_w], jnp.uint32(0))
-        bit = (word >> (new_aint[2] & 31).astype(jnp.uint32)) & 1
-        newly_hit = jnp.logical_not(done) & (bit != 0)
-        lin = (new_aint[0] * strides_l[0] + new_aint[1] * strides_l[1]
-               + new_aint[2])
-        hit_lin = jnp.where(newly_hit, lin, hit_lin)
-        hit_t = jnp.where(newly_hit, tnow, hit_t)
-        live = jnp.logical_not(done)
-        done = done | newly_hit | (live & quit_now)
-        keep = done
-        outs = [jnp.where(keep, aint[k], new_aint[k]) for k in range(3)]
-        outt = [jnp.where(keep, at_[k], new_at[k]) for k in range(3)]
-        return (state[0] + 1, done, outs[0], outs[1], outs[2],
-                outt[0], outt[1], outt[2], hit_lin, hit_t)
-
-    state0 = (
-        jnp.int32(0),
-        miss0,
-        ai[0], ai[1], ai[2],
-        at[0], at[1], at[2],
-        jnp.full((R,), -1, dtype=jnp.int32),
-        jnp.full((R,), jnp.inf, dtype=jnp.float32),
+    xs = (
+        bandify(miss0, True),  # padding rays are born done
+        tuple(bandify(ai[i], 0) for i in range(3)),
+        tuple(bandify(at[i], jnp.inf) for i in range(3)),
+        tuple(bandify(ro[i], 0.0) for i in range(3)),
+        tuple(bandify(rd[i], 1.0) for i in range(3)),
     )
-    out_state = jax.lax.while_loop(cond, body, state0)
-    hit_lin, hit_t = out_state[8], out_state[9]
+
+    def run_band(carry, bx):
+        done0, ai_b, at_b, ro_b, rd_b = bx
+        pos_b = [rd_b[i] > 0 for i in range(3)]
+
+        def cond(state):
+            i, done = state[0], state[1]
+            return (i < max_steps) & jnp.logical_not(jnp.all(done))
+
+        def body(state):
+            (i, done, ax0i, ax1i, ax2i, at0, at1, at2,
+             hit_lin, hit_t) = state
+            aint = [ax0i, ax1i, ax2i]
+            at_ = [at0, at1, at2]
+            # smallest-t axis, tie-break x<y<z
+            # (ray_voxel_intersection.cu:127-176)
+            t01 = at_[0] <= at_[1]
+            t02 = at_[0] <= at_[2]
+            t12 = at_[1] <= at_[2]
+            sel0 = t01 & t02
+            sel1 = jnp.logical_not(sel0) & t12
+            sel2 = jnp.logical_not(sel0) & jnp.logical_not(t12)
+            tnow = jnp.where(sel0, at_[0], jnp.where(sel1, at_[1], at_[2]))
+
+            new_aint = []
+            new_at = []
+            quit_now = jnp.zeros_like(done)
+            for i_ax, sel in enumerate((sel0, sel1, sel2)):
+                step = jnp.where(pos_b[i_ax], 1, -1)
+                cur = aint[i_ax] + jnp.where(sel, step, 0)
+                out_hi = pos_b[i_ax] & (cur >= dims_l[i_ax])
+                out_lo = jnp.logical_not(pos_b[i_ax]) & (cur < 0)
+                quit_now = quit_now | (sel & (out_hi | out_lo))
+                nt = jnp.where(
+                    pos_b[i_ax],
+                    (cur.astype(jnp.float32) + 1.0 - ro_b[i_ax]) / rd_b[i_ax],
+                    (cur.astype(jnp.float32) - ro_b[i_ax]) / rd_b[i_ax])
+                new_aint.append(jnp.where(sel, cur, aint[i_ax]))
+                new_at.append(jnp.where(sel, nt, at_[i_ax]))
+
+            inside = (
+                (new_aint[0] >= 0) & (new_aint[0] < h)
+                & (new_aint[1] >= 0) & (new_aint[1] < w)
+                & (new_aint[2] >= 0) & (new_aint[2] < d))
+            # occupancy test against the bit-packed words; the id volume
+            # is only touched after the loop, at each ray's hit voxel
+            lin_w = (new_aint[0] * (w * dw) + new_aint[1] * dw
+                     + (new_aint[2] >> 5))
+            lin_w = jnp.clip(lin_w, 0, h * w * dw - 1)
+            word = jnp.where(inside, occ_flat[lin_w], jnp.uint32(0))
+            bit = (word >> (new_aint[2] & 31).astype(jnp.uint32)) & 1
+            newly_hit = jnp.logical_not(done) & (bit != 0)
+            lin = (new_aint[0] * strides_l[0] + new_aint[1] * strides_l[1]
+                   + new_aint[2])
+            hit_lin = jnp.where(newly_hit, lin, hit_lin)
+            hit_t = jnp.where(newly_hit, tnow, hit_t)
+            live = jnp.logical_not(done)
+            done = done | newly_hit | (live & quit_now)
+            keep = done
+            outs = [jnp.where(keep, aint[k], new_aint[k]) for k in range(3)]
+            outt = [jnp.where(keep, at_[k], new_at[k]) for k in range(3)]
+            return (state[0] + 1, done, outs[0], outs[1], outs[2],
+                    outt[0], outt[1], outt[2], hit_lin, hit_t)
+
+        state0 = (
+            jnp.int32(0),
+            done0,
+            ai_b[0], ai_b[1], ai_b[2],
+            at_b[0], at_b[1], at_b[2],
+            jnp.full((Rb,), -1, dtype=jnp.int32),
+            jnp.full((Rb,), jnp.inf, dtype=jnp.float32),
+        )
+        out = jax.lax.while_loop(cond, body, state0)
+        return carry, (out[8], out[9])
+
+    _, (hit_lin_b, hit_t_b) = jax.lax.scan(run_band, 0, xs)
+    hit_lin = hit_lin_b.reshape(-1)[:R]
+    hit_t = hit_t_b.reshape(-1)[:R]
     hit = hit_lin >= 0
     hit_id = jnp.where(
         hit, vol_flat[jnp.clip(hit_lin, 0, h * w * d - 1)], 0)
