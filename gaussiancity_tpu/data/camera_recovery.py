@@ -62,7 +62,10 @@ def look_at_quats(cam_pos: np.ndarray, target: np.ndarray) -> np.ndarray:
                           cam_pos.shape).copy() - cam_pos
     fwd /= np.linalg.norm(fwd, axis=-1, keepdims=True)
     right = np.cross(np.array([0.0, 0.0, 1.0]), fwd)
-    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    # straight-down view: right is degenerate (fwd || z-up); pick +x
+    rn = np.linalg.norm(right, axis=-1, keepdims=True)
+    right = np.where(rn > 1e-9, right / np.maximum(rn, 1e-9),
+                     np.array([1.0, 0.0, 0.0]))
     up = np.cross(fwd, right)
     R = np.stack([fwd, right, up], axis=-1)  # [N, 3, 3] columns [F|R|U]
     return np.stack([matrix_to_quat_xyzw(r) for r in R])

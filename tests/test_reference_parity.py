@@ -924,3 +924,58 @@ class TestSerializedAttentionParity:
 
     def test_single_patch(self):
         self._build(C=16, H=2, K=16, count=16, seed=2)
+
+
+class TestPTv3MLPDropPathParity:
+    """Reference PTv3 MLP block + DropPath scaling (pure torch:
+    models/pt_v3.py:802-826, 918-954) vs the repo's PTBlock MLP math and
+    drop-path formulation."""
+
+    def test_mlp(self):
+        ref = load_ref_ptv3()
+        torch.manual_seed(3)
+        mlp_t = ref.MLP(in_channels=24, hidden_channels=96,
+                        out_channels=24)
+        mlp_t.eval()
+        x = torch.randn(37, 24)
+        with torch.no_grad():
+            want = t2n(mlp_t(x))
+
+        import flax.linen as nn
+
+        from gaussiancity_tpu.models.generator import TorchDense
+        from gaussiancity_tpu.models.ptv3 import gelu
+
+        class RepoMLP(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = TorchDense(96, name="fc1")(x)
+                x = gelu(x)
+                return TorchDense(24, name="fc2")(x)
+
+        params = {"params": {
+            "fc1": {"kernel": lin_kernel(mlp_t.fc1.weight),
+                    "bias": jnp.asarray(t2n(mlp_t.fc1.bias))},
+            "fc2": {"kernel": lin_kernel(mlp_t.fc2.weight),
+                    "bias": jnp.asarray(t2n(mlp_t.fc2.bias))},
+        }}
+        got = RepoMLP().apply(params, jnp.asarray(t2n(x)))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_droppath_eval_identity_and_train_scaling(self):
+        ref = load_ref_ptv3()
+        dp = ref.DropPath(drop_prob=0.3, scale_by_keep=True)
+        x = torch.randn(64, 8)
+        dp.eval()
+        with torch.no_grad():
+            np.testing.assert_array_equal(t2n(dp(x)), t2n(x))
+        # train: kept rows are scaled by 1/keep — same formulation as
+        # PTBlock.dp (models/ptv3.py): x * mask / keep
+        dp.train()
+        torch.manual_seed(0)
+        with torch.no_grad():
+            out = t2n(dp(x))
+        xn = t2n(x)
+        kept = np.abs(out).sum(-1) > 0
+        np.testing.assert_allclose(out[kept], xn[kept] / 0.7, rtol=1e-6)
