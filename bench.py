@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+# Benchmarks time synthetic steps; real training requires the converted
+# VGG19 weights (see training/step.py::_check_vgg_weights).
+os.environ.setdefault("GAUSSIANCITY_ALLOW_RANDOM_VGG", "1")
+
 ROUND1_BASELINE_RAYS_PER_S = 2.0e6
 
 

@@ -262,6 +262,12 @@ class TrainConfig(_Base):
     eps: float = 1e-8
     weight_decay: float = 0.0
     betas: Tuple[float, float] = (0.9, 0.999)
+    # Training without the converted ImageNet VGG19 weights
+    # (GAUSSIANCITY_VGG19_NPZ) makes the perceptual term random-feature L1
+    # — quality parity is impossible.  Opt in explicitly (or set
+    # GAUSSIANCITY_ALLOW_RANDOM_VGG=1, e.g. for tests/benchmarks);
+    # otherwise Trainer construction refuses.
+    allow_random_vgg: bool = False
     perceptual_loss_model: str = "vgg19"
     perceptual_loss_layers: Tuple[str, ...] = ("relu_3_1", "relu_4_1", "relu_5_1")
     perceptual_loss_weights: Tuple[float, ...] = (0.125, 0.25, 1.0)
@@ -270,6 +276,11 @@ class TrainConfig(_Base):
     perceptual_loss_factor: float = 10.0
     gan_loss_factor: float = 0.5
     ckpt_save_freq: int = 25
+    # Metrics are accumulated on-device and fetched to the host only every
+    # log_freq batches: a per-batch float() fetch is a device->host round
+    # trip per step that can dominate the step itself over a remote device
+    # link (CLAUDE.md benchmark rules).
+    log_freq: int = 10
     generator: GeneratorOptim = field(default_factory=GeneratorOptim)
     discriminator: DiscriminatorOptim = field(default_factory=DiscriminatorOptim)
     # TPU-native additions

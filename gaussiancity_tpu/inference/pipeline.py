@@ -165,10 +165,13 @@ class InferencePipeline:
         h, w, d = self.vol_shape
         W, H = self.ds.sensor_size
         K = np.asarray(self.ds.cam_k).reshape(3, 3)
-        # cache key: the array object itself.  Holding the reference keeps
-        # its id from being recycled; callers must not mutate in place
-        # (render_trajectory builds points once per trajectory).
-        if getattr(self, "_pts_np", None) is not points:
+        # cache key: shape + a sampled-row content fingerprint (cheap —
+        # ~100 rows hashed), so an in-place mutation of the caller's array
+        # invalidates the cached volume instead of raycasting stale ids.
+        stride = max(1, len(points) // 97)
+        pts_fp = (points.shape, points.dtype.str,
+                  points[::stride].tobytes(), int(points[:, :3].sum()))
+        if getattr(self, "_pts_fp", None) != pts_fp:
             import functools
 
             if not hasattr(self, "_vol_fn"):
@@ -184,7 +187,7 @@ class InferencePipeline:
                 jnp.asarray(loc, jnp.int32), pt_ids, jnp.asarray(scales3))
             self._occ = self._occ_fn(self._vol)
             self._pts_dev = jnp.asarray(points, jnp.int32)
-            self._pts_np = points
+            self._pts_fp = pts_fp
         if not hasattr(self, "_vis_fn"):
             import functools
 

@@ -179,7 +179,13 @@ def subm_neighbors(grid_coord, valid, kernel_size: int, depth: int = 10):
     # The query payload is the ORIGINAL point id (order[j]): the second
     # payload sort then lands ranks directly in original point order — a
     # scatter-free permutation apply, no inverse gather needed.
-    queries = sorted_keys[None, :] + offs[:, None]  # [K, N], rows sorted
+    # Invalid points carry INVALID_CODE (int32 max); clamp them below the
+    # wrap point so `sorted_keys + off` stays finite and each query row
+    # stays genuinely sorted (their results are masked by `valid` in
+    # `found` below either way).
+    max_off = r * (M * M + M + 1)
+    q_keys = jnp.minimum(sorted_keys, ser.INVALID_CODE - max_off)
+    queries = q_keys[None, :] + offs[:, None]  # [K, N], rows sorted
     akeys = jnp.broadcast_to(sorted_keys[None], (K, N))
     cat = jnp.concatenate([queries, akeys], axis=1)  # [K, 2N]
     pay = jnp.concatenate([

@@ -94,6 +94,30 @@ def table_shape(in_channels: int, n_levels: int, base_resolution: int,
     return n_levels, max(rows), lvl_channels
 
 
+def repack_legacy_table(packed, in_channels: int, n_levels: int,
+                        base_resolution: int, desired_resolution: int,
+                        log2_hashmap_size: int):
+    """Migrate a round-1 packed ``[total_rows, C]`` embedding table to the
+    current ``[L, R_max, C]`` layout (row ``r`` of level ``l`` lives at
+    packed row ``offsets[l] + r``; rows past a level's size are zero)."""
+    packed = np.asarray(packed)
+    total, C = packed.shape
+    _, offsets, _, _, expect_total = level_params(
+        in_channels, n_levels, base_resolution, desired_resolution,
+        log2_hashmap_size)
+    if total != expect_total:
+        raise ValueError(
+            f"packed table has {total} rows; the level layout expects "
+            f"{expect_total} — not a legacy GridEncoder table")
+    bounds = list(offsets) + [expect_total]
+    r_max = max(bounds[l + 1] - bounds[l] for l in range(n_levels))
+    out = np.zeros((n_levels, r_max, C), packed.dtype)
+    for l in range(n_levels):
+        rows = bounds[l + 1] - bounds[l]
+        out[l, :rows] = packed[bounds[l]:bounds[l + 1]]
+    return out
+
+
 def _corner_offsets(D: int) -> np.ndarray:
     """[2^D, D] binary corner enumeration."""
     idx = np.arange(2 ** D, dtype=np.uint32)

@@ -123,17 +123,21 @@ def ray_voxel_intersection(
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
-    Two exact accelerations over the naive march (first-hit results are
-    identical):
+    Two accelerations over the naive march:
 
-    - the march tests a BIT-PACKED occupancy volume ([h, w, d/32] uint32,
-      ~32x smaller than the id volume) so the per-step random gather hits
-      a cache-resident table; the id is fetched once per ray at the hit
-      voxel.  At 512x512x192 / 518k rays this is the difference between a
-      201 MB and a 6.3 MB working set for ~600M gathers.
+    - (exact) the march tests a BIT-PACKED occupancy volume ([h, w, d/32]
+      uint32, ~32x smaller than the id volume) so the per-step random
+      gather hits a cache-resident table; the id is fetched once per ray
+      at the hit voxel.  At 512x512x192 / 518k rays this is the difference
+      between a 201 MB and a 6.3 MB working set for ~600M gathers.
     - rays above the highest occupied voxel skip analytically to the slab
       boundary (cities are flat: the camera orbits far above max building
       height, and horizon-grazing rays otherwise march the full empty sky).
+      The skip re-bases the origin at ``ro + t_skip * rd``, so x/y carry
+      ~t_skip*eps float rounding into the march: first hits match the
+      unskipped DDA up to that rounding (a corner-grazing ray can land one
+      cell over).  Every voxel skipped is empty by construction of ztop,
+      so no hit is ever missed.
     """
     h, w, d = volume.shape
     H, W = img_dims

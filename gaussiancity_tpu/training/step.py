@@ -39,6 +39,7 @@ reference's 1 sample/GPU; see data pipeline):
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, Dict, Optional, Tuple
 
 import flax
@@ -81,6 +82,38 @@ def instances_to_classes(instances: jnp.ndarray, bldg_range, facade_clsid,
     return classes
 
 
+def _check_vgg_weights(cfg: Config) -> None:
+    """Refuse (or warn unmistakably) when the perceptual loss would train
+    on a randomly initialized VGG: a 500-epoch run with a meaningless
+    perceptual term is an expensive way to discover a missing env var
+    (reference loads torchvision ImageNet weights,
+    losses/perceptual.py:180-214)."""
+    import os
+
+    if cfg.train.perceptual_loss_factor == 0.0:
+        return
+    path = os.environ.get("GAUSSIANCITY_VGG19_NPZ")
+    if path and os.path.exists(path):
+        return
+    allow = (cfg.train.allow_random_vgg
+             or os.environ.get("GAUSSIANCITY_ALLOW_RANDOM_VGG") == "1")
+    msg = (
+        "GAUSSIANCITY_VGG19_NPZ is unset or missing (%r): the perceptual "
+        "loss will use RANDOM VGG features — training quality cannot match "
+        "the reference.  Convert the ImageNet weights once on a networked "
+        "machine:  python -c \"import torchvision, numpy as np; from "
+        "gaussiancity_tpu.losses.perceptual import convert_torch_state_dict"
+        "; np.savez('vgg19.npz', **convert_torch_state_dict(torchvision."
+        "models.vgg19(weights='IMAGENET1K_V1').features.state_dict()))\" "
+        "and point GAUSSIANCITY_VGG19_NPZ at the file." % (path,))
+    if allow:
+        logging.warning("=" * 72 + "\n" + msg + "\n" + "=" * 72)
+    else:
+        raise ValueError(
+            msg + "  (Set train.allow_random_vgg=True or "
+            "GAUSSIANCITY_ALLOW_RANDOM_VGG=1 to proceed anyway.)")
+
+
 class Trainer:
     """Owns static model/optimizer/camera objects; provides jittable
     init/train_step/eval_step pure functions."""
@@ -99,6 +132,7 @@ class Trainer:
             n_classes=ds.n_classes,
             dtype=compute_dtype,
         ) if self.use_disc else None
+        _check_vgg_weights(cfg)
         self.ploss = PerceptualLoss(
             network=cfg.train.perceptual_loss_model,
             layers=cfg.train.perceptual_loss_layers,

@@ -92,58 +92,77 @@ def train(cfg: Config, dataset_name: Optional[str] = None,
     ckpt_dir = f"{cfg.output_dir}/ckpt/{cfg.exp_name or 'default'}"
     n_batches = len(train_loader)
     global_step = int(state.step)
+    log_freq = max(1, cfg.train.log_freq)
+    metric_keys: Optional[list] = None
+
+    def flush_pending(pending, epoch_idx, batch_idx):
+        """ONE device->host fetch for the whole accumulated window (a
+        per-batch float() fetch is a round trip per step that can dominate
+        the step over a remote device link)."""
+        if not pending:
+            return
+        steps = [s for s, _ in pending]
+        vals = np.asarray(jnp.stack([v for _, v in pending]))  # [B, K]
+        for gstep, vrow in zip(steps, vals):
+            m = dict(zip(metric_keys, vrow))
+            meters.update([float(m[k]) for k in LOSS_NAMES])
+            n_drop = m.get("RasterDroppedPairs", 0.0)
+            n_trunc = m.get("RasterTruncated", 0.0)
+            if n_drop + n_trunc > 0:
+                logging.warning(
+                    "[Epoch %d][step %d] rasterizer binning overflow: "
+                    "%d dropped pairs, %d truncated tiles — raise "
+                    "rasterizer.tile_capacity / max_tiles_per_gaussian",
+                    epoch_idx, gstep, int(n_drop), int(n_trunc))
+            if m.get("PTv3PoolOverflow", 0.0) > 0:
+                logging.warning(
+                    "[Epoch %d][step %d] PTv3 pooled-capacity overflow: "
+                    "%d clusters clamped — raise network.pt_v3."
+                    "pool_capacity_divisor headroom",
+                    epoch_idx, gstep, int(m["PTv3PoolOverflow"]))
+            if writer is not None:
+                writer.add_scalars(
+                    {f"Loss/Batch/{k}": float(m[k]) for k in LOSS_NAMES},
+                    gstep)
+                writer.add_scalars(
+                    {f"Raster/Batch/{k}": float(m[k])
+                     for k in ("RasterDroppedPairs", "RasterTruncated",
+                               "PTv3PoolOverflow") if k in m},
+                    gstep)
+        last = dict(zip(metric_keys, vals[-1]))
+        logging.info(
+            "[Epoch %d/%d][Batch %d/%d] BatchTime %.3fs DataTime "
+            "%.3fs Losses %s",
+            epoch_idx, cfg.train.n_epochs, batch_idx + 1, n_batches,
+            batch_time.val(), data_time.val(),
+            ["%.4f" % float(last[k]) for k in LOSS_NAMES])
+        pending.clear()
+
     for epoch_idx in range(init_epoch + 1, cfg.train.n_epochs + 1):
         epoch_t0 = time.time()
         batch_time = AverageMeter()
         data_time = AverageMeter()
         meters = AverageMeter(LOSS_NAMES)
         t_end = time.time()
+        pending = []  # (global_step, stacked device metrics) per batch
         for batch_idx, batch in enumerate(train_loader.epoch(epoch_idx)):
             data_time.update(time.time() - t_end)
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
             key = jax.random.fold_in(rng, global_step)
             state, metrics = run_step(state, batch, key)
-            metrics = {k: float(v) for k, v in metrics.items()}
-            meters.update([metrics[k] for k in LOSS_NAMES])
-            n_over = (metrics.get("RasterDroppedPairs", 0.0)
-                      + metrics.get("RasterTruncated", 0.0))
-            if n_over > 0:
-                logging.warning(
-                    "[Epoch %d][Batch %d] rasterizer binning overflow: "
-                    "%d dropped pairs, %d truncated tiles — raise "
-                    "rasterizer.tile_capacity / max_tiles_per_gaussian",
-                    epoch_idx, batch_idx + 1,
-                    int(metrics.get("RasterDroppedPairs", 0.0)),
-                    int(metrics.get("RasterTruncated", 0.0)))
-            if metrics.get("PTv3PoolOverflow", 0.0) > 0:
-                logging.warning(
-                    "[Epoch %d][Batch %d] PTv3 pooled-capacity overflow: "
-                    "%d clusters clamped — raise network.pt_v3."
-                    "pool_capacity_divisor headroom",
-                    epoch_idx, batch_idx + 1,
-                    int(metrics["PTv3PoolOverflow"]))
+            if metric_keys is None:
+                metric_keys = sorted(metrics)
+            # one tiny on-device stack per batch; NO host sync here
+            pending.append((global_step + 1, jnp.stack(
+                [jnp.asarray(metrics[k], jnp.float32) for k in metric_keys])))
             batch_time.update(time.time() - t_end)
             t_end = time.time()
             global_step += 1
-            if writer is not None:
-                writer.add_scalars(
-                    {f"Loss/Batch/{k}": metrics[k] for k in LOSS_NAMES},
-                    global_step)
-                writer.add_scalars(
-                    {f"Raster/Batch/{k}": metrics[k]
-                     for k in ("RasterDroppedPairs", "RasterTruncated",
-                               "PTv3PoolOverflow")
-                     if k in metrics},
-                    global_step)
-            if batch_idx % 10 == 0:
-                logging.info(
-                    "[Epoch %d/%d][Batch %d/%d] BatchTime %.3fs DataTime "
-                    "%.3fs Losses %s",
-                    epoch_idx, cfg.train.n_epochs, batch_idx + 1, n_batches,
-                    batch_time.val(), data_time.val(),
-                    ["%.4f" % metrics[k] for k in LOSS_NAMES])
+            if len(pending) >= log_freq:
+                flush_pending(pending, epoch_idx, batch_idx)
             if max_steps is not None and global_step >= max_steps:
                 break
+        flush_pending(pending, epoch_idx, n_batches - 1)
 
         if writer is not None:
             writer.add_scalars(

@@ -11,7 +11,11 @@ timing of sub-ms dispatches has measured 0.1 ms for 150 ms ops
 (CLAUDE.md benchmark rules).
 """
 
+import os
 import time
+
+# scripts/ benches time synthetic steps (no VGG weights artifact needed)
+os.environ.setdefault("GAUSSIANCITY_ALLOW_RANDOM_VGG", "1")
 
 
 def chain_time(make_step, args, k_lo=1, k_hi=4, repeats=3):

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Tests train on synthetic data; the random-VGG refusal (training/step.py
+# _check_vgg_weights) is exercised by its own dedicated test.
+os.environ.setdefault("GAUSSIANCITY_ALLOW_RANDOM_VGG", "1")
+
 import jax  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms via config,
