@@ -57,11 +57,18 @@ def bench_rasterizer(jax, jnp):
     cam = CameraModel(K, (W, H)).params(
         np.zeros(3), np.array([0, 0, 0, 1.0]))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    # tile_capacity 1536 covers this scene's max per-tile count (1376)
-    # with zero truncation (asserted below) and cuts the slot-space
-    # gather/scatter cost ~25% vs 2048.
-    cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=32,
-                           backend=backend)
+    # tile_capacity 1536 covers this scene's max per-tile count (1433 with
+    # the full uncapped duplication) with zero truncation (asserted below).
+    # The tiered expansion (binning.py) + main cap 4 reproduces the
+    # reference's uncapped duplicateWithKeys exactly — n_dropped_pairs is
+    # asserted ZERO, unlike rounds 1-2 which capped at 32 tiles/Gaussian —
+    # while sorting 728k pairs instead of 2.1M.
+    # grad_capacity 1024 covers the scene's deepest contributor (max
+    # per-tile n_contrib is 883): n_grad_truncated == 0 is asserted below,
+    # so gradients are bit-identical to the unbounded scatter while the
+    # VJP transpose scatters 287k instead of 430k slot rows.
+    cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=4,
+                           grad_capacity=1024, backend=backend)
     scene = tuple(map(jnp.asarray, build_scene()))
 
     def loss(*s):
@@ -71,11 +78,15 @@ def bench_rasterizer(jax, jnp):
     out = jax.jit(lambda *s: rasterize(*s, cam, cfg))(*scene)
     assert int(out.n_truncated) == 0, (
         "bench scene overflows tile_capacity — raise it")
-    # n_dropped_pairs is nonzero here: a few near-camera Gaussians project
-    # onto >max_tiles_per_gaussian tiles (same bound as round 1, so
-    # numbers stay comparable); reported in `extra` rather than hidden.
+    assert int(out.n_dropped_pairs) == 0, (
+        "bench render must be reference-exact: no dropped Gaussian/tile "
+        "pairs (the reference duplicates uncapped) — widen bin_tiers")
+    assert int(out.n_grad_truncated) == 0, (
+        "bounded backward must cover the deepest contributor — raise "
+        "grad_capacity")
     diag = {"n_dropped_pairs": int(out.n_dropped_pairs),
-            "n_truncated": int(out.n_truncated)}
+            "n_truncated": int(out.n_truncated),
+            "n_grad_truncated": int(out.n_grad_truncated)}
     gfn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
     jax.block_until_ready(gfn(*scene))  # compile + warmup
     n_iter = 20

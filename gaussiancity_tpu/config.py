@@ -50,10 +50,13 @@ def _fromdict(cls: Any, data: Any) -> Any:
             origin = getattr(ftype, "__origin__", None)
             if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
                 kwargs[f.name] = _fromdict(ftype, v)
-            elif origin is tuple and isinstance(v, (list, tuple)):
-                kwargs[f.name] = tuple(v)
-            elif isinstance(v, list):
-                kwargs[f.name] = tuple(v)
+            elif (origin is tuple or isinstance(v, list)) and isinstance(
+                    v, (list, tuple)):
+                # deep-convert so nested tuples (e.g. bin_tiers) stay
+                # hashable after a JSON roundtrip
+                kwargs[f.name] = tuple(
+                    tuple(e) if isinstance(e, (list, tuple)) else e
+                    for e in v)
             else:
                 kwargs[f.name] = v
         return cls(**kwargs)
@@ -164,6 +167,14 @@ class RasterizerConfig(_Base):
     # forward.cu:232). Gaussians overflowing the cap have their binned tile
     # set clipped around the projected center.
     max_tiles_per_gaussian: int = 32
+    # Tiered duplication (binning.py module doc): the (count) largest-rect
+    # Gaussians expand under (tile_cap) tiles instead of the main cap, so a
+    # few near-camera Gaussians spanning hundreds of tiles never drop pairs
+    # (the reference duplicates uncapped, rasterizer_impl.cu:64-99) while
+    # the pair sort stays ~the true pair count.  tile_cap 0 = full grid.
+    # () disables tiering (uniform max_tiles_per_gaussian cap).
+    bin_tiers: Tuple[Tuple[int, int], ...] = (
+        (16384, 16), (4096, 48), (1024, 96), (128, 0))
     # Static per-tile capacity: max Gaussians blended per tile, nearest-first
     # (the reference's per-tile ranges are dynamic; rasterizer_impl.cu:101-124).
     tile_capacity: int = 1024
@@ -172,6 +183,15 @@ class RasterizerConfig(_Base):
     alpha_max: float = 0.99
     transmittance_eps: float = 1e-4
     near_z: float = 0.2
+    # Backward slot budget per tile (pallas backend): gradients are
+    # scattered back to Gaussians only for the first grad_capacity slots.
+    # Blending saturates front-to-back, so slots past the tile's deepest
+    # n_contrib carry provably-zero gradient (reference backward visits
+    # only k < n_contrib, backward.cu:509-513) — bounding the scatter
+    # skips the dominant cost of the VJP transpose.  Exactness is
+    # reported by RenderOutput.n_grad_truncated (0 = gradients are
+    # bit-identical to the unbounded scatter).  0 = unbounded.
+    grad_capacity: int = 0
     # Chunk size of the k-loop in the blend kernels.
     chunk: int = 8
     backend: str = "auto"  # "pallas" | "xla" | "auto"

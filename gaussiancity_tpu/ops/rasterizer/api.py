@@ -28,6 +28,9 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray  # [N] int32
     n_dropped_pairs: jnp.ndarray  # scalar int32 binning overflow diagnostics
     n_truncated: jnp.ndarray  # scalar int32
+    # Slots carrying gradient beyond cfg.grad_capacity (0 = the bounded
+    # backward scatter is exact; see RasterizerConfig.grad_capacity).
+    n_grad_truncated: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _assemble_image(
@@ -105,6 +108,7 @@ def rasterize(
         tile_w=cfg.tile_w,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         tile_capacity=cfg.tile_capacity,
+        tiers=cfg.bin_tiers,
     )
 
     n_ty, n_tx = binning.tile_grid(img_h, img_w, cfg.tile_h, cfg.tile_w)
@@ -122,25 +126,23 @@ def rasterize(
         n_tx=n_tx,
     )
     idx = bins.gauss_index  # [T, K]
+    n_grad_truncated = jnp.zeros((), jnp.int32)
     if backend == "pallas":
         # Fast path: one row-gather of the packed [N, 16] attributes into
-        # the paged [T, NC, 16, page] kernel layout.
+        # the paged [T, NC, 16, page] kernel layout, with the backward's
+        # slot space bounded by cfg.grad_capacity (blend.blend_gathered).
         from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
         page = cfg.page or blend_pallas.default_page()
         T_tiles, K = idx.shape
         assert K % page == 0, "tile_capacity must be a multiple of the page"
         attrs = prep.attrs16()  # [N, 16]
-        # promise_in_bounds: idx is clamped by construction (binning.py);
-        # the mode also propagates to the VJP's scatter-add transpose,
-        # skipping per-row bounds handling on TPU.
-        gathered = attrs.at[idx.reshape(-1)].get(
-            mode="promise_in_bounds")  # [T*K, 16]
-        attrs_paged = gathered.reshape(T_tiles, K // page, page, 16)
-        attrs_paged = attrs_paged.transpose(0, 1, 3, 2)
-        counts_f = bins.counts.astype(jnp.float32)
-        tiles_out, tiles_T = blend.blend_tiles_packed(
-            consts, attrs_paged, counts_f, bg)
+        # idx rides as f32 (exact ints < 2^24) so the custom VJP can
+        # return a zero cotangent for it.
+        assert N < 2 ** 24, "idx rides the custom VJP as exact f32"
+        tiles_out, tiles_T, n_grad_truncated = blend.blend_gathered(
+            consts, cfg.grad_capacity, page, attrs,
+            idx.astype(jnp.float32), bins.counts.astype(jnp.float32), bg)
     else:
         mean2d_g = prep.mean2d[idx]
         conic_g = prep.conic[idx]
@@ -166,6 +168,7 @@ def rasterize(
         radii=prep.radius,
         n_dropped_pairs=bins.n_dropped_pairs,
         n_truncated=bins.n_truncated,
+        n_grad_truncated=n_grad_truncated,
     )
 
 

@@ -16,6 +16,19 @@ Overflow policy (principled, per SURVEY.md §7): per-tile truncation keeps the
 *nearest* K Gaussians (sort is front-to-back); per-Gaussian truncation drops
 the trailing tiles of its row-major rect.  Both overflow counts are returned
 so callers can assert/log when capacities are exceeded.
+
+Tiered expansion: the reference duplicates every Gaussian into *every* rect
+tile with no cap (rasterizer_impl.cu:64-99), so a handful of near-camera
+"whales" touch hundreds of tiles while the median Gaussian touches 1-4.
+Capping everything at the worst case would multiply the pair-sort size by
+~100x; instead Gaussians are ranked by rect area and routed to one of a few
+static (count, tile-cap) *tiers* — e.g. the 128 largest rects get the full
+tile grid, the next 896 get 96 tiles, ... and everything else the small main
+cap.  Each Gaussian expands in exactly one tier; all tiers' pairs carry the
+same (tile, depth-rank) keys and are sorted together, so the result is
+order-identical to one giant uncapped expansion whenever no tier overflows
+(n_dropped_pairs == 0, asserted by bench.py) — at ~3x fewer sorted pairs
+than even the old uniform D=32 cap.
 """
 
 from __future__ import annotations
@@ -63,6 +76,41 @@ def compute_rects(mean2d, radius, valid, img_h, img_w, tile_h, tile_w):
                            img_h, img_w, tile_h, tile_w)
 
 
+def _expand_pairs(x_min, y_min, rect_w, area, valid, n_tx, num_tiles, D):
+    """Expand rects into up to D (tile_id, src_index) pairs each, [D, M]
+    layout, row-major over the rect (y-major like duplicateWithKeys,
+    rasterizer_impl.cu:64-99).  Returns (tile_id [D, M], pair ok [D, M])."""
+    j = jnp.arange(D, dtype=jnp.int32)[:, None]  # [D, 1]
+    rw = jnp.maximum(rect_w, 1)[None, :]  # [1, M]
+    ty = y_min[None, :] + j // rw  # [D, M]
+    tx = x_min[None, :] + j % rw
+    pair_valid = valid[None, :] & (j < area[None, :])
+    tile_id = jnp.where(pair_valid, ty * n_tx + tx, num_tiles)
+    return tile_id.astype(jnp.int32), pair_valid
+
+
+def normalize_tiers(tiers, N, num_tiles):
+    """Clip tier counts to N / caps to the tile grid, drop degenerate
+    tiers, and return ((count, tiles), ...) sorted by count descending
+    with strictly decreasing counts and increasing caps."""
+    norm = []
+    for count, tiles in tiers:
+        count = min(int(count), N)
+        tiles = min(int(tiles) or num_tiles, num_tiles)
+        if count > 0:
+            norm.append((count, tiles))
+    norm.sort(key=lambda ct: (-ct[0], ct[1]))
+    out = []
+    for count, tiles in norm:
+        if out and count == out[-1][0]:
+            out[-1] = (count, max(tiles, out[-1][1]))  # keep bigger cap
+        elif out and tiles <= out[-1][1]:
+            continue  # subsumed by the wider tier's cap
+        else:
+            out.append((count, tiles))
+    return tuple(out)
+
+
 def bin_gaussians(
     prep: Preprocessed,
     img_h: int,
@@ -71,10 +119,15 @@ def bin_gaussians(
     tile_w: int = 128,
     max_tiles_per_gaussian: int = 32,
     tile_capacity: int = 1024,
+    tiers=(),
 ) -> TileBins:
     """Build fixed-capacity per-tile Gaussian lists, front-to-back.
 
     All inputs are treated as non-differentiable integer state.
+    ``tiers`` is a tuple of (count, tile_cap) pairs: the ``count`` largest
+    rects (by tile area) expand under ``tile_cap`` tiles (0 = the full
+    grid) instead of the main ``max_tiles_per_gaussian`` cap — see the
+    module docstring.
     """
     mx = jax.lax.stop_gradient(prep.mx)
     my = jax.lax.stop_gradient(prep.my)
@@ -90,45 +143,98 @@ def bin_gaussians(
         mx, my, prep.radius, prep.valid, img_h, img_w, tile_h, tile_w)
     rect_w = x_max - x_min
 
-    # Expand each Gaussian into up to D (tile, depth) pairs, [D, N] layout,
-    # row-major over its rect (y-major like duplicateWithKeys,
-    # rasterizer_impl.cu:64-99).
-    j = jnp.arange(D, dtype=jnp.int32)[:, None]  # [D, 1]
-    rw = jnp.maximum(rect_w, 1)[None, :]  # [1, N]
-    ty = y_min[None, :] + j // rw  # [D, N]
-    tx = x_min[None, :] + j % rw
-    pair_valid = valid[None, :] & (j < area[None, :])
-    tile_id = jnp.where(pair_valid, ty * n_tx + tx, num_tiles).astype(jnp.int32)
-
-    n_dropped = jnp.sum(jnp.maximum(area - D, 0)).astype(jnp.int32)
-
-    # Single-int32-key sort: pack (tile, depth-rank).  The global depth
-    # rank (stable argsort of depth) gives each Gaussian a unique order
-    # key, so (tile << bits) | rank reproduces the reference's
-    # (tile, depth, duplication-order) ordering exactly — ties in depth
-    # break by original index like the stable LSB radix sort
+    # Sort-key construction: pack (tile, depth-rank) into ONE int32.  The
+    # global depth rank (stable argsort of depth) gives each Gaussian a
+    # unique order key, so (tile << bits) | rank reproduces the
+    # reference's (tile, depth, duplication-order) ordering exactly — ties
+    # in depth break by original index like the stable LSB radix sort
     # (rasterizer_impl.cu:252-260) — with one int key instead of a
-    # 3-operand lexicographic sort.
+    # 3-operand lexicographic sort.  All tiers' pairs carry the same
+    # keys, so one joint sort interleaves every expansion correctly.
     rank_bits = max((N - 1).bit_length(), 1)
     tile_bits = (num_tiles + 1).bit_length()
-    if rank_bits + tile_bits <= 31:
+    packed_key = rank_bits + tile_bits <= 31
+    if packed_key:
         order_by_depth = jnp.argsort(depth, stable=True).astype(jnp.int32)
         rank = jnp.zeros((N,), jnp.int32).at[order_by_depth].set(
             jnp.arange(N, dtype=jnp.int32))
-        key = (tile_id << rank_bits) | rank[None, :]
-        pair_idx = jnp.broadcast_to(
-            jnp.arange(N, dtype=jnp.int32)[None, :], (D, N))
-        key_s, idx_s = jax.lax.sort(
-            (key.reshape(-1), pair_idx.reshape(-1)), num_keys=1)
+        subkey = rank
+    else:  # huge scenes: lexicographic (tile, depth, index) sort
+        subkey = depth.astype(jnp.float32)
+
+    tiers = normalize_tiers(tiers, N, num_tiles)
+    key_parts = []  # packed keys OR depth subkeys, [n_part] each
+    tile_parts = []
+    idx_parts = []
+    n_dropped = jnp.zeros((), jnp.int32)
+
+    def add_part(tid, idx, sub):
+        """tid/idx/sub: [cap, count] tile ids, gauss indices, subkeys."""
+        tile_parts.append(tid.reshape(-1))
+        idx_parts.append(jnp.broadcast_to(idx[None, :], tid.shape).reshape(-1))
+        if packed_key:
+            key_parts.append(
+                ((tid << rank_bits) | sub[None, :]).reshape(-1))
+        else:
+            key_parts.append(
+                jnp.broadcast_to(sub[None, :], tid.shape).reshape(-1))
+
+    if tiers:
+        # One ranking by area serves every tier: rank r belongs to the
+        # NARROWEST tier whose count covers it (counts are distinct and
+        # descending; caps ascending).
+        ranked = jnp.argsort(-area, stable=True).astype(jnp.int32)
+        c_widest = tiers[0][0]
+        bounds = [c for c, _ in tiers] + [0]
+        for t, (count, cap) in enumerate(tiers):
+            lo, hi = bounds[t + 1], count  # ranks [lo, hi) use this cap
+            sl = ranked[lo:hi]
+            area_t = area.at[sl].get(mode="promise_in_bounds")
+            tid_t, _ = _expand_pairs(
+                x_min.at[sl].get(mode="promise_in_bounds"),
+                y_min.at[sl].get(mode="promise_in_bounds"),
+                rect_w.at[sl].get(mode="promise_in_bounds"),
+                area_t,
+                valid.at[sl].get(mode="promise_in_bounds"),
+                n_tx, num_tiles, cap)
+            add_part(tid_t, sl, subkey.at[sl].get(mode="promise_in_bounds"))
+            n_dropped = n_dropped + jnp.sum(
+                jnp.maximum(area_t - cap, 0)).astype(jnp.int32)
+        if c_widest < N:
+            # Main pass over the un-tiered remainder.  Membership without
+            # a scatter: area strictly above the c_widest-th ranked area
+            # is tiered; exactly (c_widest - #above) of the THRESHOLD-tied
+            # Gaussians are tiered, lowest-index first (matching the
+            # stable argsort's tie order).
+            thr = area.at[ranked[c_widest - 1]].get(mode="promise_in_bounds")
+            above = area > thr
+            eq = area == thr
+            n_eq_tiered = c_widest - jnp.sum(above).astype(jnp.int32)
+            eq_tiered = eq & (jnp.cumsum(eq.astype(jnp.int32)) <= n_eq_tiered)
+            area_main = jnp.where(above | eq_tiered, 0, area)
+        else:
+            area_main = None
+    else:
+        area_main = area
+
+    if area_main is not None:
+        tile_id, _ = _expand_pairs(
+            x_min, y_min, rect_w, area_main, valid, n_tx, num_tiles, D)
+        add_part(tile_id, jnp.arange(N, dtype=jnp.int32), subkey)
+        n_dropped = n_dropped + jnp.sum(
+            jnp.maximum(area_main - D, 0)).astype(jnp.int32)
+
+    cat = (lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps))
+    pair_idx = cat(idx_parts)
+    n_pairs = pair_idx.shape[0]
+
+    if packed_key:
+        key_s, idx_s = jax.lax.sort((cat(key_parts), pair_idx), num_keys=1)
         tile_s = key_s >> rank_bits
-    else:  # fall back to the lexicographic sort for huge scenes
-        pair_depth = jnp.broadcast_to(depth[None, :], (D, N)).astype(
-            jnp.float32)
-        pair_idx = jnp.broadcast_to(
-            jnp.arange(N, dtype=jnp.int32)[None, :], (D, N))
+    else:
         tile_s, _, idx_s = jax.lax.sort(
-            (tile_id.reshape(-1), pair_depth.reshape(-1),
-             pair_idx.reshape(-1)), num_keys=2, is_stable=True)
+            (cat(tile_parts), cat(key_parts), pair_idx), num_keys=2,
+            is_stable=True)
 
     # Per-tile ranges via binary search (replaces identifyTileRanges,
     # rasterizer_impl.cu:101-124).
@@ -140,7 +246,7 @@ def bin_gaussians(
     n_truncated = jnp.sum(jnp.maximum(full_counts - K, 0)).astype(jnp.int32)
 
     k = jnp.arange(K, dtype=jnp.int32)
-    gather_pos = jnp.minimum(starts[:, None] + k[None, :], D * N - 1)
+    gather_pos = jnp.minimum(starts[:, None] + k[None, :], n_pairs - 1)
     gauss_index = idx_s.at[gather_pos].get(
         mode="promise_in_bounds")  # [T, K]
     kmask = k[None, :] < counts[:, None]

@@ -326,3 +326,108 @@ def _packed_bwd_rule(consts, res, cts):
 
 
 blend_tiles_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Gather + blend with a bounded backward slot space.
+#
+# Alpha blending saturates front-to-back: in city scenes the transmittance
+# hits t_eps after a few dozen Gaussians, so slots past the tile's deepest
+# n_contrib provably receive ZERO gradient (the reference backward visits
+# only k < n_contrib, backward.cu:509-513).  The gather's automatic VJP
+# would still scatter-add every one of the T*K padded slot rows into the
+# [N, 16] gradient table — the single most expensive stage of the measured
+# fwd+bwd breakdown.  This custom VJP scatters only the first
+# ``grad_capacity`` slots per tile and reports exactness through the
+# forward's ``n_grad_truncated`` output: when it is 0 (every tile's
+# min(count, max n_contrib) fits), gradients are bit-identical to the
+# unbounded scatter.
+# ---------------------------------------------------------------------------
+
+
+def _gather_pack(attrs16: jnp.ndarray, idx: jnp.ndarray, page: int):
+    """[N, 16], [T, K] -> [T, K/page, 16, page] paged kernel layout."""
+    T_tiles, K = idx.shape
+    gathered = attrs16.at[idx.reshape(-1)].get(
+        mode="promise_in_bounds")  # [T*K, 16]
+    return gathered.reshape(T_tiles, K // page, page, 16).transpose(0, 1, 3, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def blend_gathered(
+    consts: BlendConsts,
+    grad_capacity: int,  # 0 = unbounded (scatter all K slots)
+    page: int,  # slot-page size (0 = backend default)
+    attrs16: jnp.ndarray,  # [N, 16] packed per-Gaussian attributes
+    idx_f: jnp.ndarray,  # [T, K] float32 (int semantics, < 2^24)
+    counts_f: jnp.ndarray,  # [T] float32 (int semantics)
+    bg: jnp.ndarray,  # [3]
+):
+    """Returns (out [T, TH, TW, 3] incl. background, final_T [T, TH, TW],
+    n_grad_truncated scalar int32)."""
+    out, final_T, n_contrib, _ = _gathered_fwd(
+        consts, grad_capacity, page, attrs16, idx_f, counts_f, bg)
+    return out, final_T, _grad_trunc_count(
+        counts_f, n_contrib, grad_capacity, idx_f.shape[1])
+
+
+def _grad_slots(grad_capacity: int, K: int) -> int:
+    return K if grad_capacity <= 0 else min(K, grad_capacity)
+
+
+def _grad_trunc_count(counts_f, n_contrib, grad_capacity, K):
+    """Slots per tile that carry gradient but fall past grad_capacity."""
+    kb = _grad_slots(grad_capacity, K)
+    k_hi = jnp.minimum(counts_f.astype(jnp.int32),
+                       jnp.max(n_contrib, axis=(1, 2)))
+    return jnp.sum(jnp.maximum(k_hi - kb, 0)).astype(jnp.int32)
+
+
+def _gathered_fwd(consts, grad_capacity, page, attrs16, idx_f, counts_f, bg):
+    from gaussiancity_tpu.ops.rasterizer import blend_pallas
+
+    page = page or blend_pallas.default_page()
+    idx = idx_f.astype(jnp.int32)
+    attrs_paged = _gather_pack(attrs16, idx, page)
+    counts = counts_f.astype(jnp.int32)
+    C, final_T, n_contrib = blend_pallas.blend_tiles_pallas_fwd(
+        consts, consts.n_tx, attrs_paged, counts)
+    out = jnp.moveaxis(C, 1, -1) + final_T[..., None] * bg[None, None, None, :]
+    return out, final_T, n_contrib, attrs_paged
+
+
+def _gathered_fwd_rule(consts, grad_capacity, page, attrs16, idx_f,
+                       counts_f, bg):
+    out, final_T, n_contrib, attrs_paged = _gathered_fwd(
+        consts, grad_capacity, page, attrs16, idx_f, counts_f, bg)
+    n_trunc = _grad_trunc_count(counts_f, n_contrib,
+                                grad_capacity, idx_f.shape[1])
+    res = (attrs16.shape[0], attrs_paged, idx_f, counts_f, bg, final_T,
+           n_contrib)
+    return (out, final_T, n_trunc), res
+
+
+def _gathered_bwd_rule(consts, grad_capacity, page, res, cts):
+    from gaussiancity_tpu.ops.rasterizer import blend_pallas
+
+    N, attrs_paged, idx_f, counts_f, bg, final_T, n_contrib = res
+    g_out, g_T, _ = cts  # n_grad_truncated is a diagnostic int: no tangent
+    counts = counts_f.astype(jnp.int32)
+    d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
+    bg_dot_g = jnp.einsum("c,thwc->thw", bg, g_out) + g_T
+    grads = blend_pallas.blend_tiles_pallas_bwd(
+        consts, consts.n_tx, attrs_paged, counts,
+        jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib)
+    T_tiles, NC, R, page = grads.shape
+    K = NC * page
+    kb = _grad_slots(grad_capacity, K)
+    ncb = -(-kb // page)  # slice whole pages
+    idx = idx_f.astype(jnp.int32)[:, : ncb * page]
+    g_rows = grads[:, :ncb].transpose(0, 1, 3, 2).reshape(
+        T_tiles * ncb * page, R)
+    d_attrs16 = jnp.zeros((N, R), jnp.float32).at[idx.reshape(-1)].add(
+        g_rows, mode="promise_in_bounds")
+    return (d_attrs16, jnp.zeros_like(idx_f), jnp.zeros_like(counts_f), d_bg)
+
+
+blend_gathered.defvjp(_gathered_fwd_rule, _gathered_bwd_rule)

@@ -56,9 +56,11 @@ def _band_rasterize(
     g_valid = g_attrs[:, 11] > 0.5
 
     H, W = cam.img_h, cam.img_w
-    assert H % (cfg.tile_h * n_dev) == 0, (
-        "image height must divide evenly into per-device tile bands")
-    band_h = H // n_dev
+    # Pad the band grid so ANY sensor height shards: each device renders a
+    # tile-aligned band of ceil(H / (tile_h * n_dev)) tile rows; bands
+    # beyond H are padding the caller crops off (960x540 on 8 devices ->
+    # 8 bands of 72 rows, last 36 rows cropped).
+    band_h = -(-H // (cfg.tile_h * n_dev)) * cfg.tile_h
     band_y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
 
     # Shift screen-space y so this band starts at 0, then bin into the
@@ -73,7 +75,8 @@ def _band_rasterize(
     )
     bins = binning.bin_gaussians(
         band_prep, band_h, W, cfg.tile_h, cfg.tile_w,
-        cfg.max_tiles_per_gaussian, cfg.tile_capacity)
+        cfg.max_tiles_per_gaussian, cfg.tile_capacity,
+        tiers=cfg.bin_tiers)
 
     n_ty, n_tx = binning.tile_grid(band_h, W, cfg.tile_h, cfg.tile_w)
     backend = cfg.backend
@@ -123,8 +126,10 @@ def make_sharded_rasterizer(mesh, cam: CameraParams,
                             axis: str = "tile"):
     """Returns a jitted fn(means3d, opacities, scales, quats, colors,
     valid, bg) -> image [3, H, W], with Gaussians sharded over ``axis``
-    and the image bands distributed the same way."""
+    and the image bands distributed the same way.  Any sensor height
+    works: the band grid is tile-padded and cropped here."""
     n_dev = mesh.shape[axis]
+    H = cam.img_h
 
     fn = functools.partial(_band_rasterize, cam=cam, cfg=cfg, axis=axis,
                            n_dev=n_dev)
@@ -134,4 +139,8 @@ def make_sharded_rasterizer(mesh, cam: CameraParams,
         out_specs=P(None, axis, None),
         check_vma=False,
     )
-    return sharded
+
+    def render(*args):
+        return sharded(*args)[:, :H]
+
+    return render

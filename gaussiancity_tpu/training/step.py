@@ -301,6 +301,7 @@ class Trainer:
         diag = {  # float32 so pmean over the data axis is well-defined
             "RasterDroppedPairs": out.n_dropped_pairs.astype(jnp.float32),
             "RasterTruncated": out.n_truncated.astype(jnp.float32),
+            "RasterGradTruncated": out.n_grad_truncated.astype(jnp.float32),
             "PTv3PoolOverflow": pool_overflow.astype(jnp.float32),
         }
         return img[None], (diag, new_stats)

@@ -114,6 +114,12 @@ def train(cfg: Config, dataset_name: Optional[str] = None,
                     "%d dropped pairs, %d truncated tiles — raise "
                     "rasterizer.tile_capacity / max_tiles_per_gaussian",
                     epoch_idx, gstep, int(n_drop), int(n_trunc))
+            if m.get("RasterGradTruncated", 0.0) > 0:
+                logging.warning(
+                    "[Epoch %d][step %d] rasterizer backward truncated %d "
+                    "gradient slots — raise rasterizer.grad_capacity (or "
+                    "set 0 for the unbounded exact scatter)",
+                    epoch_idx, gstep, int(m["RasterGradTruncated"]))
             if m.get("PTv3PoolOverflow", 0.0) > 0:
                 logging.warning(
                     "[Epoch %d][step %d] PTv3 pooled-capacity overflow: "
@@ -127,7 +133,8 @@ def train(cfg: Config, dataset_name: Optional[str] = None,
                 writer.add_scalars(
                     {f"Raster/Batch/{k}": float(m[k])
                      for k in ("RasterDroppedPairs", "RasterTruncated",
-                               "PTv3PoolOverflow") if k in m},
+                               "RasterGradTruncated", "PTv3PoolOverflow")
+                     if k in m},
                     gstep)
         last = dict(zip(metric_keys, vals[-1]))
         logging.info(

@@ -52,8 +52,8 @@ def main():
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
     cam = CameraModel(K, (W, H)).params(np.zeros(3), np.array([0, 0, 0, 1.0]))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=32,
-                           backend=backend)
+    cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=4,
+                           grad_capacity=1024, backend=backend)
     scene = tuple(map(jnp.asarray, bench_mod.build_scene()))
     means3d, opacity, scales, quats, colors = scene
     N = means3d.shape[0]
@@ -75,7 +75,7 @@ def main():
     )(means3d)
     bins = jax.jit(lambda p: binning.bin_gaussians(
         p, H, W, cfg.tile_h, cfg.tile_w, cfg.max_tiles_per_gaussian,
-        cfg.tile_capacity))(prep)
+        cfg.tile_capacity, tiers=cfg.bin_tiers))(prep)
     n_ty, n_tx = binning.tile_grid(H, W, cfg.tile_h, cfg.tile_w)
     consts = blend.BlendConsts(
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, alpha_min=cfg.alpha_min,
@@ -112,7 +112,8 @@ def main():
     section("binning_ms", lambda: chain_time(
         lambda a, eps: tree_sum(binning.bin_gaussians(
             a[0]._replace(mx=a[0].mx + eps), H, W, cfg.tile_h, cfg.tile_w,
-            cfg.max_tiles_per_gaussian, cfg.tile_capacity)),
+            cfg.max_tiles_per_gaussian, cfg.tile_capacity,
+            tiers=cfg.bin_tiers)),
         (prep,)))
 
     section("gather_pack_ms", lambda: chain_time(

@@ -101,3 +101,51 @@ class TestPallasBlend:
         out_p = rasterize(*scene, cam, cfg_small.replace(backend="pallas"))
         assert int(out_x.n_truncated) > 0, "test needs actual truncation"
         np.testing.assert_allclose(out_p.image, out_x.image, atol=1e-6)
+
+
+class TestGradCapacity:
+    """Bounded backward slot space (RasterizerConfig.grad_capacity):
+    slots past the deepest n_contrib carry zero gradient, so a capacity
+    covering them must reproduce the unbounded scatter bit-exactly, and a
+    too-small capacity must be *reported* (n_grad_truncated > 0)."""
+
+    def _grads(self, cam, scene, cfg):
+        def loss(*s):
+            out = rasterize(*s, cam, cfg)
+            return jnp.sum(out.image ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*scene)
+
+    def test_covering_capacity_is_exact(self):
+        # opaque stack: saturation after a handful of slots
+        cam, _ = small_setup()
+        n = 64
+        means = jnp.stack([
+            jax.random.uniform(jax.random.PRNGKey(7), (n,), minval=8.0,
+                               maxval=12.0),
+            jnp.zeros((n,)), jnp.zeros((n,))], -1)
+        scene = (
+            means, jnp.full((n,), 0.95), jnp.full((n, 3), 0.5),
+            jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+            jax.random.uniform(jax.random.PRNGKey(8), (n, 3)),
+        )
+        out = rasterize(*scene, cam, CFG_PALLAS)
+        assert int(out.n_grad_truncated) == 0  # unbounded: always 0
+        # tile counts are 64 here, so 64 slots always cover the deepest
+        # contributor (tail pixels blend every slot without saturating)
+        cfg_b = CFG_PALLAS.replace(grad_capacity=64)
+        out_b = rasterize(*scene, cam, cfg_b)
+        assert int(out_b.n_grad_truncated) == 0
+        g_full = self._grads(cam, scene, CFG_PALLAS)
+        g_bounded = self._grads(cam, scene, cfg_b)
+        for gf, gb in zip(g_full, g_bounded):
+            np.testing.assert_array_equal(np.asarray(gf), np.asarray(gb))
+
+    def test_truncation_is_counted(self):
+        # translucent stack deeper than the budget: must be reported
+        cam, scene = small_setup(seed=9, n=96)
+        cfg_b = CFG_PALLAS.replace(grad_capacity=16)
+        out_b = rasterize(*scene, cam, cfg_b)
+        out_full = rasterize(*scene, cam, CFG_PALLAS)
+        assert int(out_full.n_grad_truncated) == 0
+        assert int(out_b.n_grad_truncated) > 0

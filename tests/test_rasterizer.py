@@ -260,3 +260,75 @@ class TestWindowedRender:
                 np.asarray(got),
                 np.asarray(full[:, y0:y0 + Hc, x0:x0 + Wc]),
                 rtol=1e-5, atol=1e-5)
+
+
+class TestTieredBinning:
+    """Tiered duplication (binning.py module doc): ranked-area tiers must
+    reproduce one giant uncapped expansion exactly — the reference has no
+    per-Gaussian tile cap (rasterizer_impl.cu:64-99)."""
+
+    def _prep(self, seed, n=512):
+        from gaussiancity_tpu.ops.rasterizer import preprocess
+
+        cam = make_camera()
+        # depth range down to 1.5 creates whales spanning many tiles
+        scene = make_scene(jax.random.PRNGKey(seed), n=n,
+                           depth_range=(1.5, 40.0))
+        means, op, sc, qu, co = scene
+        return preprocess.preprocess(
+            means, op, sc, qu, co, jnp.ones((n,), bool), cam), cam
+
+    def test_tiers_match_uncapped_expansion(self):
+        from gaussiancity_tpu.ops.rasterizer import binning
+
+        prep, cam = self._prep(0)
+        H, W = cam.img_h, cam.img_w
+        n_ty, n_tx = binning.tile_grid(H, W, 8, 128)
+        ref = binning.bin_gaussians(
+            prep, H, W, 8, 128, max_tiles_per_gaussian=n_ty * n_tx,
+            tile_capacity=512)
+        assert int(ref.n_dropped_pairs) == 0
+        got = binning.bin_gaussians(
+            prep, H, W, 8, 128, max_tiles_per_gaussian=3,
+            tile_capacity=512, tiers=((256, 6), (64, 10), (16, 0)))
+        assert int(got.n_dropped_pairs) == 0
+        np.testing.assert_array_equal(np.asarray(got.counts),
+                                      np.asarray(ref.counts))
+        np.testing.assert_array_equal(np.asarray(got.gauss_index),
+                                      np.asarray(ref.gauss_index))
+
+    def test_tier_overflow_is_counted(self):
+        from gaussiancity_tpu.ops.rasterizer import binning
+
+        prep, cam = self._prep(1)
+        H, W = cam.img_h, cam.img_w
+        uncapped = binning.bin_gaussians(
+            prep, H, W, 8, 128, max_tiles_per_gaussian=512,
+            tile_capacity=512)
+        # tiny caps everywhere -> must drop and say so
+        got = binning.bin_gaussians(
+            prep, H, W, 8, 128, max_tiles_per_gaussian=1,
+            tile_capacity=512, tiers=((8, 2),))
+        n_full = int(uncapped.counts.sum())
+        assert int(got.n_dropped_pairs) == n_full - int(got.counts.sum())
+        assert int(got.n_dropped_pairs) > 0
+
+    def test_normalize_tiers(self):
+        from gaussiancity_tpu.ops.rasterizer.binning import normalize_tiers
+
+        # clips counts to N, caps to grid, dedupes, drops subsumed tiers
+        # both big tiers clip to count 256 and merge, keeping the wider cap
+        assert normalize_tiers(((16384, 16), (4096, 48), (128, 0)),
+                               N=256, num_tiles=80) == ((256, 48), (128, 80))
+        assert normalize_tiers((), N=256, num_tiles=80) == ()
+        # equal counts keep the larger cap
+        assert normalize_tiers(((64, 8), (64, 24)), N=256,
+                               num_tiles=80) == ((64, 24),)
+
+    def test_default_config_zero_drops_in_rasterize(self):
+        cam = make_camera()
+        scene = make_scene(jax.random.PRNGKey(2), n=512,
+                           depth_range=(1.5, 40.0))
+        cfg = RasterizerConfig(tile_capacity=512, max_tiles_per_gaussian=4)
+        out = rasterize(*scene, cam, cfg)
+        assert int(out.n_dropped_pairs) == 0
