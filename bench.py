@@ -67,8 +67,12 @@ def bench_rasterizer(jax, jnp):
     # per-tile n_contrib is 883): n_grad_truncated == 0 is asserted below,
     # so gradients are bit-identical to the unbounded scatter while the
     # VJP transpose scatters 287k instead of 430k slot rows.
+    # grad_budget 131072 covers sum-per-tile depth (75k) with ~1.7x
+    # headroom: the backward scatters 131k compacted rows instead of the
+    # 287k dense [tiles, 1024] rows (or 430k unbounded).
     cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=4,
-                           grad_capacity=1024, backend=backend)
+                           grad_capacity=1024, grad_budget=131072,
+                           backend=backend)
     scene = tuple(map(jnp.asarray, build_scene()))
 
     def loss(*s):
@@ -209,6 +213,206 @@ def bench_inference_frame(jax, jnp):
     return (time.time() - t0) / n_iter
 
 
+def bench_stage_breakdown(jax, jnp):
+    """Per-stage device times of the headline scene (VERDICT r2 item 10)
+    via the chained-fori methodology (scripts/_bench_util.chain_time) —
+    the only timing the axon tunnel cannot under-report.  Returns a dict
+    of per-stage ms.  Full version: scripts/bench_raster_breakdown.py."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from _bench_util import chain_time
+
+    from gaussiancity_tpu.camera import CameraModel
+    from gaussiancity_tpu.config import RasterizerConfig
+    from gaussiancity_tpu.ops.rasterizer import (binning, blend,
+                                                 blend_pallas, preprocess)
+
+    W, H = 640, 448
+    f = 400.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    cam = CameraModel(K, (W, H)).params(np.zeros(3), np.array([0, 0, 0, 1.0]))
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=4,
+                           grad_capacity=1024, grad_budget=131072,
+                           backend=backend)
+    means3d, opacity, scales, quats, colors = map(jnp.asarray, build_scene())
+    valid = jnp.ones((means3d.shape[0],), bool)
+
+    def tsum(x):
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(x)
+                   if hasattr(l, "dtype"))
+
+    prep = jax.jit(lambda m: preprocess.preprocess(
+        m, opacity, scales, quats, colors, valid, cam,
+        near_z=cfg.near_z))(means3d)
+    bins = jax.jit(lambda p: binning.bin_gaussians(
+        p, H, W, cfg.tile_h, cfg.tile_w, cfg.max_tiles_per_gaussian,
+        cfg.tile_capacity, tiers=cfg.bin_tiers))(prep)
+    n_ty, n_tx = binning.tile_grid(H, W, cfg.tile_h, cfg.tile_w)
+    consts = blend.BlendConsts(
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w, alpha_min=cfg.alpha_min,
+        alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
+        unroll=cfg.chunk, backend=backend, n_tx=n_tx)
+    page = blend_pallas.default_page()
+    attrs_paged = jax.jit(lambda p, i: blend._gather_pack(
+        p.attrs16(), i, page))(prep, bins.gauss_index)
+    counts = bins.counts
+    _, final_T, n_contrib = jax.jit(
+        lambda a: blend_pallas.blend_tiles_pallas_fwd(consts, n_tx, a,
+                                                      counts))(attrs_paged)
+    g_out = jnp.ones(final_T.shape + (3,), jnp.float32)
+    bgg = jnp.zeros(final_T.shape, jnp.float32)
+
+    out = {}
+    out["stage_preprocess_ms"] = chain_time(
+        lambda a, eps: tsum(preprocess.preprocess(
+            a[0] + eps, opacity, scales, quats, colors, valid, cam,
+            near_z=cfg.near_z)), (means3d,), repeats=2)
+    out["stage_binning_ms"] = chain_time(
+        lambda a, eps: tsum(binning.bin_gaussians(
+            a[0]._replace(mx=a[0].mx + eps), H, W, cfg.tile_h, cfg.tile_w,
+            cfg.max_tiles_per_gaussian, cfg.tile_capacity,
+            tiers=cfg.bin_tiers)), (prep,), repeats=2)
+    N = means3d.shape[0]
+    out["stage_gather_pack_ms"] = chain_time(
+        lambda a, eps: tsum(blend._gather_pack(
+            a[0].attrs16() + eps,
+            jnp.minimum(a[1] + eps.astype(jnp.int32), N - 1), page)),
+        (prep, bins.gauss_index), repeats=2)
+    out["stage_blend_fwd_ms"] = chain_time(
+        lambda a, eps: tsum(blend_pallas.blend_tiles_pallas_fwd(
+            consts, n_tx, a[0] + eps, a[1])), (attrs_paged, counts),
+        repeats=2)
+    out["stage_blend_bwd_ms"] = chain_time(
+        lambda a, eps: tsum(blend_pallas.blend_tiles_pallas_bwd(
+            consts, n_tx, a[0] + eps, counts, a[1] + eps, bgg, a[2],
+            n_contrib)), (attrs_paged, g_out.transpose(0, 3, 1, 2),
+                          final_T), repeats=2)
+    return {k: round(v, 3) for k, v in out.items()}
+
+
+def bench_frame_e2e(jax, jnp):
+    """BASELINE config 4 measured honestly: one full inference frame at the
+    960x540 sensor — extrusion-derived points, per-frame voxel visibility,
+    depth-aware budgeting, REST + BLDG (PTv3 + z) compacted per-class
+    generators, rasterize + road blur.  262,144-point total budget
+    (REST 196,608 + BLDG 65,536).  Returns (seconds/frame, extras)."""
+    from gaussiancity_tpu import config as cfg_mod
+    from gaussiancity_tpu.inference.pipeline import (
+        InferencePipeline, get_orbit_camera_poses, get_style_lut)
+    from gaussiancity_tpu.models import Generator
+
+    cfg = cfg_mod.rest_recipe()
+    cfg = cfg.replace(
+        dataset=cfg.dataset.replace(proj_size=512, map_size=512),
+        rasterizer=cfg.rasterizer.replace(
+            backend="pallas" if jax.default_backend() == "tpu" else "xla",
+            tile_capacity=2048, max_tiles_per_gaussian=4),
+    )
+    P = cfg.dataset.proj_size
+    budgets = {"REST": 196608, "BLDG": 65536}
+    n_total = sum(budgets.values())
+
+    def init_gen(net_cfg, seed, z_dim):
+        gen = Generator(cfg=net_cfg, n_classes=cfg.dataset.n_classes,
+                        proj_size=P)
+        n = 1024  # init shapes are point-count independent
+        # keep the FULL variable dict (params + BN batch_stats)
+        variables = jax.jit(gen.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, n, 2)),
+            jnp.zeros((1, n, 3)), None,
+            jnp.zeros((1, n, cfg.dataset.n_classes)),
+            jnp.zeros((1, n, z_dim)) if z_dim else None,
+            jnp.zeros((1, P, P, 1)),
+            jnp.zeros((1, P, P, cfg.dataset.n_classes)),
+            jnp.ones((1, n), bool))
+        return gen, dict(variables)
+
+    rest_gen, rest_params = init_gen(cfg.network, 0, None)
+    bldg_cfg = cfg_mod.bldg_recipe().network
+    bldg_gen, bldg_params = init_gen(bldg_cfg, 1, bldg_cfg.z_dim)
+
+    pipe = InferencePipeline(
+        cfg, {"REST": (rest_gen, rest_params),
+              "BLDG": (bldg_gen, bldg_params)},
+        max_points=n_total, class_budgets=budgets)
+
+    # synthetic city map: roads + a grid of buildings within the volume
+    rng = np.random.default_rng(0)
+    ins = np.ones((P, P), np.int16)
+    td = np.full((P, P), 2, np.int16)
+    for bi in range(48):
+        x, y = rng.integers(16, P - 48, 2)
+        w, h = rng.integers(12, 40, 2)
+        iid = 100 + 2 * bi
+        ins[y:y + h, x:x + w] = iid
+        td[y:y + h, x:x + w] = rng.integers(20, 120)
+    seg = np.where(ins >= 100, 2, ins).astype(np.int16)
+    projections = {"REST": {
+        "INS": ins, "SEG": seg, "TD_HF": td,
+        "BU_HF": np.zeros((P, P), np.int16),
+        "PTS": np.ones((P, P), bool)}}
+    centers = {}
+    for iid in np.unique(ins):
+        ys, xs = np.nonzero(ins == iid)
+        centers[int(iid)] = (float(xs.mean()), float(ys.mean()),
+                             float(np.ptp(xs) + 1), float(np.ptp(ys) + 1),
+                             float(td[ys, xs].max()))
+        centers[int(iid) + 1] = centers[int(iid)]
+    poses = get_orbit_camera_poses(P, n_points=4, radius=220, altitude=260)
+    lut = jnp.asarray(get_style_lut(centers, bldg_cfg.z_dim or 1, seed=0))
+
+    # inline per-frame loop (same stages as render_trajectory) so the
+    # extras can attribute time to visibility / host+transfer / frame fn
+    from gaussiancity_tpu.inference.pipeline import select_nearest_rows
+    import time as _t
+
+    points_all = pipe.build_points(projections, 0)
+    proj_hf = jnp.asarray(projections["REST"]["TD_HF"], jnp.float32)[..., None]
+    proj_seg = jnp.asarray(np.stack(
+        [(seg == i) for i in range(cfg.dataset.n_classes)], -1
+    ).astype(np.float32))
+    frame_fn = pipe.get_frame_fn_compact()
+    stages = {"vis_s": 0.0, "host_s": 0.0, "frame_fn_s": 0.0}
+    n_timed = 0
+    img = None
+    for it, pose in enumerate(poses):
+        cam_pos = np.array([pose["tx"], pose["ty"], pose["tz"]], np.float32)
+        cam_quat = np.array([pose["qx"], pose["qy"], pose["qz"],
+                             pose["qw"]], np.float32)
+        t0 = _t.time()
+        vis_pts, ins_map = pipe.visible_points(points_all, cam_pos.copy(),
+                                               cam_quat)
+        t1 = _t.time()
+        pts9 = pipe.normalize_points(vis_pts, centers)
+        masks = pipe.host_class_split(pts9)
+        buckets = {}
+        for name in pipe.models:
+            rows, _ = select_nearest_rows(pts9[masks[name]], cam_pos,
+                                          budgets[name])
+            buckets[name] = pipe._device_bucket(rows, budgets[name], name)
+        t2 = _t.time()
+        img = np.asarray(pipe.frame_to_uint8(frame_fn(
+            buckets, proj_hf, proj_seg, None, lut, jnp.asarray(cam_pos),
+            jnp.asarray(cam_quat), jnp.asarray(ins_map == 1))))
+        t3 = _t.time()
+        if it > 0:  # frame 0 is warmup/compile
+            stages["vis_s"] += t1 - t0
+            stages["host_s"] += t2 - t1
+            stages["frame_fn_s"] += t3 - t2
+            n_timed += 1
+    assert img is not None and img.std() > 1.0, (  # uint8 frame
+        "e2e frame rendered no content")
+    dt = sum(stages.values()) / n_timed
+    extras = {f"frame_e2e_{k[:-2]}_ms": round(v / n_timed * 1e3, 1)
+              for k, v in stages.items()}
+    extras.update(budget_rest=budgets["REST"], budget_bldg=budgets["BLDG"])
+    return dt, extras
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -229,6 +433,16 @@ def main():
                 bench_inference_frame(jax, jnp) * 1e3, 1)
         except Exception as e:
             extra["inference_frame_error"] = repr(e)[:200]
+        try:
+            dt, fe = bench_frame_e2e(jax, jnp)
+            extra["frame_e2e_960x540_ms"] = round(dt * 1e3, 1)
+            extra.update(fe)
+        except Exception as e:
+            extra["frame_e2e_error"] = repr(e)[:200]
+        try:
+            extra.update(bench_stage_breakdown(jax, jnp))
+        except Exception as e:
+            extra["stage_breakdown_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "rays_per_s_fwd_bwd_640x448",

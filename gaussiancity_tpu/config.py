@@ -192,6 +192,11 @@ class RasterizerConfig(_Base):
     # reported by RenderOutput.n_grad_truncated (0 = gradients are
     # bit-identical to the unbounded scatter).  0 = unbounded.
     grad_capacity: int = 0
+    # >0: compact the backward scatter to this many total rows across all
+    # tiles (positions k < per-tile gradient depth only), instead of the
+    # dense [tiles, grad_capacity] scatter.  Overflow is counted in
+    # n_grad_truncated.  0 = dense scatter.
+    grad_budget: int = 0
     # Chunk size of the k-loop in the blend kernels.
     chunk: int = 8
     backend: str = "auto"  # "pallas" | "xla" | "auto"
@@ -222,6 +227,15 @@ class PTv3Config(_Base):
     dec_patch_size: Tuple[int, ...] = (1024, 1024, 1024, 1024)
     mlp_ratio: float = 4.0
     enable_cpe: bool = True
+    # Relative-position attention bias (reference models/pt_v3.py:604-626).
+    # No reference config enables it (flash attention asserts it off);
+    # ported for completeness.
+    enable_rpe: bool = False
+    # Randomly permute which serialization order each block sees, per
+    # forward (reference models/pt_v3.py:1024-1030, default True there).
+    # A no-op for the single-order ("cord",) GaussianCity configs; needs a
+    # "shuffle" rng stream from the caller to take effect.
+    shuffle_orders: bool = True
     # Static capacity divisor per pooled stage (1 = keep full point count;
     # the reference shrinks dynamically via torch.unique). Real shell data
     # merges >= 8 points/cluster, so 2 is conservative.

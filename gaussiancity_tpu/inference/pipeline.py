@@ -99,8 +99,40 @@ def get_style_lut(centers: Dict[int, tuple], z_dim: int = 256,
     return lut
 
 
+def select_nearest_rows(pts9: np.ndarray, cam_pos: np.ndarray, budget: int):
+    """Depth-aware point budget: keep the ``budget`` points nearest to the
+    camera (original order preserved among the kept).  Returns
+    (kept rows [<=budget, 9], n_dropped).  Replaces head-first truncation:
+    whatever extrusion row-major order put last must not silently lose the
+    closest geometry."""
+    n = len(pts9)
+    if n <= budget:
+        return pts9, 0
+    d2 = np.sum(
+        (pts9[:, :3] - np.asarray(cam_pos, np.float32)[None]) ** 2, 1)
+    keep = np.sort(np.argpartition(d2, budget - 1)[:budget])
+    return pts9[keep], n - budget
+
+
+def select_nearest(pts9: np.ndarray, cam_pos: np.ndarray, budget: int):
+    """``select_nearest_rows`` zero-padded to the static budget.
+    Returns (padded [budget, 9], mask [budget], n_dropped)."""
+    rows, n_dropped = select_nearest_rows(pts9, cam_pos, budget)
+    n = len(rows)
+    pad = np.zeros((budget, pts9.shape[1]), np.float32)
+    pad[:n] = rows
+    return pad, np.arange(budget) < n, n_dropped
+
+
 class InferencePipeline:
-    """Holds the per-class generators and the jitted per-frame renderer."""
+    """Holds the per-class generators and the jitted per-frame renderer.
+
+    ``class_budgets`` (name -> static point budget) enables the compacted
+    per-class path: each generator runs only on its own class's points
+    (the reference splits classes ragged, scripts/inference.py:455-507),
+    instead of every model evaluating all ``max_points`` padded points
+    under a mask — with BLDG's PTv3 in the loop, the dense path pays the
+    most expensive model on the majority-REST point set."""
 
     def __init__(
         self,
@@ -108,15 +140,23 @@ class InferencePipeline:
         models: Dict[str, Tuple[Generator, dict]],  # name -> (module, params)
         max_points: int = 262144,
         vol_shape: Tuple[int, int, int] = (512, 512, 192),
+        class_budgets: Optional[Dict[str, int]] = None,
     ):
         self.cfg = cfg
         self.ds = cfg.dataset
         self.models = models
         self.max_points = max_points
         self.vol_shape = vol_shape
+        self.class_budgets = class_budgets
         self.camera = CameraModel(
             np.asarray(self.ds.cam_k).reshape(3, 3), self.ds.sensor_size)
         self._frame_fn = None
+        self._class_frame_fns = None
+        self._slab_hwm: Dict[str, int] = {}
+        # [-1,1] float frame -> uint8 on DEVICE: fetching 1/4 the bytes
+        # matters over a remote-device link
+        self.frame_to_uint8 = jax.jit(lambda img: (
+            jnp.clip(img / 2 + 0.5, 0, 1) * 255).astype(jnp.uint8))
 
     # ------------------------------------------------------------------
     # host-side per-frame point generation
@@ -236,12 +276,8 @@ class InferencePipeline:
         masks["REST"] = jnp.logical_not(bldg | car)
         return masks
 
-    def predict_attrs(self, params_map, pts9, pts_mask, proj_hf, proj_seg,
-                      proj_tlp, style_lut):
-        """Stage 1 (jittable): per-class attribute prediction -> packed
-        14-ch Gaussian points [N, 14].  ``params_map`` (name -> params) is
-        an explicit argument so the (large) parameter trees are jit inputs,
-        not baked-in constants."""
+    def _point_features(self, pts9, proj_tlp, style_lut):
+        """Shared per-point feature derivation for both attr paths."""
         ds = self.ds
         pts = pts9[None]
         abs_xyz = pts[..., 0:3]
@@ -258,20 +294,34 @@ class InferencePipeline:
             abs_xyz, proj_tlp[None] if proj_tlp is not None else None,
             ds.proj_size)
         z_pts = style_lut[instances[0] % style_lut.shape[0]][None]
+        return abs_xyz, rel_xyz, classes, scales3, onehots, proj_uv, z_pts
 
+    def _apply_model(self, module, params, proj_uv, rel_xyz, onehots, z_pts,
+                     proj_hf, proj_seg, pts_mask):
+        # either a raw params tree or a full variable dict carrying
+        # batch_stats (BN running averages) from the checkpoint
+        vars_in = params if "params" in params else {"params": params}
+        z_in = z_pts if module.cfg.z_dim is not None else None
+        return module.apply(
+            vars_in, proj_uv, rel_xyz, None, onehots, z_in,
+            proj_hf[None], proj_seg[None], pts_mask[None])
+
+    def predict_attrs(self, params_map, pts9, pts_mask, proj_hf, proj_seg,
+                      proj_tlp, style_lut):
+        """Stage 1 (jittable), dense path: EVERY model evaluates the full
+        padded point set and attributes are selected by class mask.
+        ``params_map`` (name -> params) is an explicit argument so the
+        (large) parameter trees are jit inputs, not baked-in constants."""
+        (abs_xyz, rel_xyz, classes, scales3, onehots, proj_uv,
+         z_pts) = self._point_features(pts9, proj_tlp, style_lut)
         masks = self._class_masks(classes[0])
         attrs_acc: Dict[str, jnp.ndarray] = {}
         any_model = False
         for name, (module, _) in self.models.items():
-            params = params_map[name]
-            # either a raw params tree or a full variable dict carrying
-            # batch_stats (BN running averages) from the checkpoint
-            vars_in = params if "params" in params else {"params": params}
+            out = self._apply_model(
+                module, params_map[name], proj_uv, rel_xyz, onehots, z_pts,
+                proj_hf, proj_seg, pts_mask)
             m = masks[name]
-            z_in = z_pts if module.cfg.z_dim is not None else None
-            out = module.apply(
-                vars_in, proj_uv, rel_xyz, None, onehots, z_in,
-                proj_hf[None], proj_seg[None], pts_mask[None])
             for k, v in out.items():
                 prev = attrs_acc.get(k)
                 sel = jnp.where(m[None, :, None], v,
@@ -280,6 +330,19 @@ class InferencePipeline:
             any_model = True
         assert any_model, "no models given"
         return helpers.get_gaussian_points(abs_xyz, scales3, attrs_acc)[0]
+
+    def predict_attrs_single(self, name, params, pts9, pts_mask, proj_hf,
+                             proj_seg, proj_tlp, style_lut):
+        """Stage 1 (jittable), compacted path: ONE model over ONE class's
+        (host-compacted, padded) bucket — the expensive generators never
+        see other classes' points (reference splits classes ragged,
+        scripts/inference.py:455-507)."""
+        (abs_xyz, rel_xyz, _, scales3, onehots, proj_uv,
+         z_pts) = self._point_features(pts9, proj_tlp, style_lut)
+        module = self.models[name][0]
+        out = self._apply_model(module, params, proj_uv, rel_xyz, onehots,
+                                z_pts, proj_hf, proj_seg, pts_mask)
+        return helpers.get_gaussian_points(abs_xyz, scales3, out)[0]
 
     def raster_frame(self, gs_pts, pts_mask, cam_pos, cam_quat, road_mask):
         """Stage 2 (jittable): rasterize + flips + road blur -> [H, W, 3]."""
@@ -324,6 +387,93 @@ class InferencePipeline:
             self._frame_fn = frame
         return self._frame_fn
 
+    def _device_bucket(self, pts_sel: np.ndarray, budget: int,
+                       key: str = ""):
+        """Host [n, 9] -> device ([slab, 9], n) where slab is a halving
+        of the budget covering n.  Only the slab crosses host->device —
+        over a remote-device link the full-budget transfer dominates the
+        frame — and the per-class generator runs at the slab size.
+        Slab classes are STICKY (grow-only per key): neighboring frames
+        with similar visible counts must reuse the compiled program, so a
+        count dipping below a class boundary never triggers a shrink
+        recompile; growth recompiles are bounded by log2(budget)."""
+        n = len(pts_sel)
+        floor = max(n, 1024, self._slab_hwm.get(key, 0))
+        slab = budget
+        while slab // 2 >= floor and slab % 2 == 0:
+            slab //= 2
+        self._slab_hwm[key] = max(self._slab_hwm.get(key, 0), slab)
+        out = np.zeros((slab, pts_sel.shape[1]), np.float32)
+        out[:n] = pts_sel
+        return jnp.asarray(out), n
+
+    def get_frame_fn_compact(self):
+        """Per-class frame fn: takes {name: (pts9 slab [S_c, 9], count)}
+        host-compacted buckets; each generator runs only on its own
+        class's slab, and results are zero-padded on-device to the static
+        per-class budget before rasterization."""
+        if self._class_frame_fns is None:
+            import functools
+
+            self._class_frame_fns = {
+                name: jax.jit(functools.partial(
+                    self.predict_attrs_single, name))
+                for name in self.models
+            }
+            self._raster_fn = jax.jit(self.raster_frame)
+            self._pad_fn = jax.jit(
+                lambda g, n, b: (
+                    jnp.zeros((b, g.shape[1]), g.dtype).at[:g.shape[0]].set(
+                        jnp.where((jnp.arange(g.shape[0]) < n)[:, None],
+                                  g, 0.0)),
+                    jnp.arange(b) < n),
+                static_argnums=2)
+        attrs_fns = self._class_frame_fns
+        raster_fn = self._raster_fn
+        pad_fn = self._pad_fn
+        params_map = {name: p for name, (_, p) in self.models.items()}
+        budgets = self.class_budgets or {}
+
+        def frame(buckets, proj_hf, proj_seg, proj_tlp, style_lut,
+                  cam_pos, cam_quat, road_mask):
+            gs_parts, mask_parts = [], []
+            for name in self.models:
+                pts9_c, n_c = buckets[name]
+                slab = pts9_c.shape[0]
+                # n as a device scalar: a python int would be baked into
+                # the traced program and recompile every frame
+                n_c = jnp.asarray(n_c, jnp.int32)
+                mask_c = jnp.arange(slab) < n_c
+                gs_c = attrs_fns[name](
+                    params_map[name], pts9_c, mask_c, proj_hf, proj_seg,
+                    proj_tlp, style_lut)
+                budget = budgets.get(name, self.max_points)
+                gs_pad, mask_pad = pad_fn(gs_c, n_c, budget)
+                gs_parts.append(gs_pad)
+                mask_parts.append(mask_pad)
+            gs = jnp.concatenate(gs_parts, axis=0)
+            mask = jnp.concatenate(mask_parts, axis=0)
+            return raster_fn(gs, mask, cam_pos, cam_quat, road_mask)
+
+        return frame
+
+    def host_class_split(self, pts9: np.ndarray):
+        """Class membership masks on the host (same rules as
+        _class_masks), keyed by model name.  Pure numpy: eager per-op jax
+        dispatches over a remote-device link cost ~100 ms each."""
+        from gaussiancity_tpu.data.datasets import instances_to_classes_np
+
+        ds = self.ds
+        classes = instances_to_classes_np(pts9[:, 4].astype(np.int64), ds)
+        bldg = np.zeros(len(pts9), bool)
+        car = np.zeros(len(pts9), bool)
+        if "BLDG" in self.models:
+            bldg = np.isin(classes,
+                           [ds.bldg_facade_clsid, ds.bldg_roof_clsid])
+        if "CAR" in self.models and ds.car_clsid is not None:
+            car = classes == ds.car_clsid
+        return {"BLDG": bldg, "CAR": car, "REST": ~(bldg | car)}
+
     # ------------------------------------------------------------------
     # full trajectory -> video
     # ------------------------------------------------------------------
@@ -344,7 +494,9 @@ class InferencePipeline:
         style_lut = jnp.asarray(style_lut)
         points_all = self.build_points(projections, water_z)
         logging.info("extruded %d points", len(points_all))
-        frame_fn = self.get_frame_fn()
+        compact = bool(self.class_budgets)
+        frame_fn = (self.get_frame_fn_compact() if compact
+                    else self.get_frame_fn())
         # shared local projections (REST category, whole-map for GE)
         proj_hf = jnp.asarray(
             projections["REST"]["TD_HF"], jnp.float32)[..., None]
@@ -361,21 +513,40 @@ class InferencePipeline:
             vis_pts, ins_map = self.visible_points(
                 points_all, cam_pos.copy(), cam_quat)
             pts9 = self.normalize_points(vis_pts, centers)
-            n = len(pts9)
-            if n > self.max_points:
-                pts9 = pts9[: self.max_points]
-                n = self.max_points
-            pad = np.zeros((self.max_points, 9), np.float32)
-            pad[:n] = pts9
-            mask = np.arange(self.max_points) < n
             road = ins_map == 1  # ROAD class id
-            img = frame_fn(
-                jnp.asarray(pad), jnp.asarray(mask), proj_hf, proj_seg,
-                None, style_lut, jnp.asarray(cam_pos),
-                jnp.asarray(cam_quat), jnp.asarray(road))
-            frame = np.asarray(img)
-            frame = np.clip(frame / 2 + 0.5, 0, 1)
-            frames.append((frame * 255).astype(np.uint8))
+            if compact:
+                masks = self.host_class_split(pts9)
+                buckets = {}
+                for name in self.models:
+                    budget = self.class_budgets.get(name, self.max_points)
+                    rows, n_drop = select_nearest_rows(
+                        pts9[masks[name]], cam_pos, budget)
+                    if n_drop:
+                        logging.warning(
+                            "frame %s: %s bucket over budget — dropped %d "
+                            "farthest of %d points (budget %d)",
+                            pose["id"], name, n_drop, n_drop + budget,
+                            budget)
+                    buckets[name] = self._device_bucket(rows, budget, name)
+                img = frame_fn(
+                    buckets, proj_hf, proj_seg, None, style_lut,
+                    jnp.asarray(cam_pos), jnp.asarray(cam_quat),
+                    jnp.asarray(road))
+                n = int(sum(nc for _, nc in buckets.values()))
+            else:
+                pad, mask, n_drop = select_nearest(
+                    pts9, cam_pos, self.max_points)
+                if n_drop:
+                    logging.warning(
+                        "frame %s: point budget exceeded — dropped %d "
+                        "farthest of %d points (max_points %d)",
+                        pose["id"], n_drop, len(pts9), self.max_points)
+                n = len(pts9) - n_drop
+                img = frame_fn(
+                    jnp.asarray(pad), jnp.asarray(mask), proj_hf, proj_seg,
+                    None, style_lut, jnp.asarray(cam_pos),
+                    jnp.asarray(cam_quat), jnp.asarray(road))
+            frames.append(np.asarray(self.frame_to_uint8(img)))
             logging.info("frame %s: %d visible points", pose["id"], n)
         if video_path:
             write_video(video_path, frames, fps)

@@ -28,6 +28,7 @@ for static shapes and XLA:
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Any, Optional, Sequence, Tuple
@@ -274,18 +275,44 @@ class SubMConv(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def rpe_bounds(patch_size: int):
+    """Clamp bound / table stride of the RPE (models/pt_v3.py:608-610)."""
+    pos_bnd = int((4 * patch_size) ** (1 / 3) * 2)
+    return pos_bnd, 2 * pos_bnd + 1
+
+
+def rpe_bias_fn(table, patch_size, gc_patch):
+    """[3*rpe_num, H] table, [G, K, 3] int grid coords -> [G, H, K, K]
+    logit bias (models/pt_v3.py:612-626): per-axis clamped coordinate
+    deltas index the table, summed over the three axes."""
+    pos_bnd, rpe_num = rpe_bounds(patch_size)
+    rel = gc_patch[:, :, None, :] - gc_patch[:, None, :, :]
+    idx = (jnp.clip(rel, -pos_bnd, pos_bnd) + pos_bnd
+           + jnp.arange(3, dtype=rel.dtype) * rpe_num)
+    bias = table.at[idx].get(mode="promise_in_bounds")  # [G,K,K,3,H]
+    return bias.sum(3).transpose(0, 3, 1, 2)  # [G, H, K, K]
+
+
 class PatchAttention(nn.Module):
     """Dense attention within fixed patches along a serialized order
-    (reference: models/pt_v3.py:604-799, flash path semantics)."""
+    (reference: models/pt_v3.py:604-799, flash path semantics).
+
+    ``enable_rpe`` adds the reference's relative-position bias to the
+    logits (models/pt_v3.py:604-626,777-778): a learned [3 * (2 * bnd + 1),
+    heads] table indexed by the clamped per-axis grid-coordinate deltas
+    within each patch, summed over the three axes.  No reference config
+    enables it (flash attention asserts it off) — ported for completeness
+    behind the flag."""
 
     channels: int
     num_heads: int
     patch_size: int
     dtype: Optional[Any] = None
     remat: bool = False
+    enable_rpe: bool = False
 
     @nn.compact
-    def __call__(self, feat, order, inverse, count):
+    def __call__(self, feat, order, inverse, count, grid_coord=None):
         N, C = feat.shape
         K = self.patch_size
         H = self.num_heads
@@ -306,6 +333,10 @@ class PatchAttention(nn.Module):
 
         qkv_s = qkv[src].reshape(n_patches, K, 3, H, hd)
         kmask = key_valid.reshape(n_patches, 1, 1, K)
+        gc_s = None
+        if self.enable_rpe:
+            assert grid_coord is not None, "RPE needs grid coordinates"
+            gc_s = grid_coord[src].reshape(n_patches, K, 3)
 
         # Patches are batched into one einsum (a serial per-patch scan
         # starves the MXU: dozens of tiny [H,K,hd] matmuls with layout
@@ -316,20 +347,37 @@ class PatchAttention(nn.Module):
         # logits in the backward either way, so the budget also caps the
         # residual footprint.
         max_bytes = 256 * 1024 * 1024
-        group = max(1, min(n_patches, max_bytes // (4 * H * K * K)))
+        bytes_per_patch = 4 * H * K * K + (self.enable_rpe and 16 * K * K)
+        group = max(1, min(n_patches, max_bytes // bytes_per_patch))
         while n_patches % group:
             group -= 1
         qkv_g = qkv_s.reshape(n_patches // group, group, K, 3, H, hd)
         kmask_g = kmask.reshape(n_patches // group, group, 1, 1, K)
+        gc_g = (gc_s.reshape(n_patches // group, group, K, 3)
+                if self.enable_rpe else
+                jnp.zeros((n_patches // group, 0), jnp.int32))
+        rpe_bias = None
+        if self.enable_rpe:
+            # table param created here (outside the scan body); the bias
+            # math is the module-level pure fn so tests can pin it
+            pos_bnd, rpe_num = rpe_bounds(K)
+            table = self.param(
+                "rpe_table",
+                lambda k, s: jax.nn.initializers.truncated_normal(0.02)(
+                    k, s, jnp.float32),
+                (3 * rpe_num, self.num_heads))
+            rpe_bias = functools.partial(rpe_bias_fn, table, K)
 
         def per_group(carry, xs):
-            qkv_p, mask_p = xs  # [G, K, 3, H, hd], [G, 1, 1, K]
+            qkv_p, mask_p, gc_p = xs  # [G, K, 3, H, hd], [G, 1, 1, K], ...
             q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)  # [G, H, K, hd]
             kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
             vv = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
             # logits + softmax in f32 regardless of compute dtype
             attn = jnp.einsum("ghkd,ghmd->ghkm", q * scale, kk,
                               preferred_element_type=jnp.float32)
+            if self.enable_rpe:
+                attn = attn + rpe_bias(gc_p)
             attn = jnp.where(mask_p, attn, -1e9)
             attn = jax.nn.softmax(attn, axis=-1).astype(vv.dtype)
             o = jnp.einsum("ghkm,ghmd->ghkd", attn, vv)
@@ -337,9 +385,9 @@ class PatchAttention(nn.Module):
 
         per_group = _maybe_remat(per_group, self.remat)
         if n_patches == group:
-            _, out = per_group(0, (qkv_g[0], kmask_g[0]))
+            _, out = per_group(0, (qkv_g[0], kmask_g[0], gc_g[0]))
         else:
-            _, out = jax.lax.scan(per_group, 0, (qkv_g, kmask_g))
+            _, out = jax.lax.scan(per_group, 0, (qkv_g, kmask_g, gc_g))
         out = out.reshape(N, C)
 
         # scatter back to point order
@@ -360,6 +408,7 @@ class PTBlock(nn.Module):
     order_index: int
     drop_path: float
     enable_cpe: bool = True
+    enable_rpe: bool = False
     dtype: Optional[Any] = None
     remat: bool = False
 
@@ -389,8 +438,9 @@ class PTBlock(nn.Module):
         x = LayerNormT(name="norm1", dtype=self.dtype)(feat)
         x = PatchAttention(self.channels, self.num_heads, self.patch_size,
                            name="attn", dtype=self.dtype,
-                           remat=self.remat)(
-            x, order, inverse, count)
+                           remat=self.remat, enable_rpe=self.enable_rpe)(
+            x, order, inverse, count,
+            grid_coord if self.enable_rpe else None)
         feat = shortcut + dp(x)
 
         shortcut = feat
@@ -564,6 +614,20 @@ class PTv3Single(nn.Module):
             coord, valid, self.grid_size, orders, self.serial_depth)
         count = jnp.sum(valid.astype(jnp.int32))
 
+        def maybe_shuffle(codes_, order_, inverse_):
+            """Per-forward random permutation of the serialization orders
+            (reference models/pt_v3.py:1024-1030; re-applied after every
+            pooling there too, pt_v3.py:437-444).  Active only when the
+            caller provides a "shuffle" rng; identity for one order."""
+            if (not cfg.shuffle_orders or len(orders) < 2
+                    or not self.has_rng("shuffle")):
+                return codes_, order_, inverse_
+            perm = jax.random.permutation(self.make_rng("shuffle"),
+                                          codes_.shape[0])
+            return codes_[perm], order_[perm], inverse_[perm]
+
+        codes, order, inverse = maybe_shuffle(codes, order, inverse)
+
         # stem: SubMConv k5 -> BN -> GELU (models/pt_v3.py:1104-1134)
         x = SubMConv(cfg.enc_channels[0], 5, name="embedding_stem",
                      dtype=self.dtype, remat=cfg.remat)(
@@ -602,6 +666,9 @@ class PTv3Single(nn.Module):
                 cluster = pooled.pop("cluster")
                 levels.append((state, cluster))
                 state = pooled
+                (state["codes"], state["order"],
+                 state["inverse"]) = maybe_shuffle(
+                    state["codes"], state["order"], state["inverse"])
                 if cfg.enable_cpe:
                     state["nbrs"] = subm_neighbors(
                         state["grid_coord"], state["valid"], 3,
@@ -618,6 +685,7 @@ class PTv3Single(nn.Module):
                     order_index=b % len(orders),
                     drop_path=enc_dp[di],
                     enable_cpe=cfg.enable_cpe,
+                    enable_rpe=cfg.enable_rpe,
                     dtype=self.dtype,
                     remat=cfg.remat,
                     name=f"enc{s}_block{b}",
@@ -654,6 +722,7 @@ class PTv3Single(nn.Module):
                     order_index=b % len(orders),
                     drop_path=dp_slice[b],
                     enable_cpe=cfg.enable_cpe,
+                    enable_rpe=cfg.enable_rpe,
                     dtype=self.dtype,
                     remat=cfg.remat,
                     name=f"dec{s}_block{b}",

@@ -141,7 +141,7 @@ def rasterize(
         # return a zero cotangent for it.
         assert N < 2 ** 24, "idx rides the custom VJP as exact f32"
         tiles_out, tiles_T, n_grad_truncated = blend.blend_gathered(
-            consts, cfg.grad_capacity, page, attrs,
+            consts, cfg.grad_capacity, cfg.grad_budget, page, attrs,
             idx.astype(jnp.float32), bins.counts.astype(jnp.float32), bg)
     else:
         mean2d_g = prep.mean2d[idx]

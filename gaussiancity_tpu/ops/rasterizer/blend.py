@@ -353,10 +353,11 @@ def _gather_pack(attrs16: jnp.ndarray, idx: jnp.ndarray, page: int):
     return gathered.reshape(T_tiles, K // page, page, 16).transpose(0, 1, 3, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def blend_gathered(
     consts: BlendConsts,
     grad_capacity: int,  # 0 = unbounded (scatter all K slots)
+    grad_budget: int,  # >0: compacted scatter over this many total rows
     page: int,  # slot-page size (0 = backend default)
     attrs16: jnp.ndarray,  # [N, 16] packed per-Gaussian attributes
     idx_f: jnp.ndarray,  # [T, K] float32 (int semantics, < 2^24)
@@ -366,24 +367,35 @@ def blend_gathered(
     """Returns (out [T, TH, TW, 3] incl. background, final_T [T, TH, TW],
     n_grad_truncated scalar int32)."""
     out, final_T, n_contrib, _ = _gathered_fwd(
-        consts, grad_capacity, page, attrs16, idx_f, counts_f, bg)
+        consts, attrs16, idx_f, counts_f, bg, page)
     return out, final_T, _grad_trunc_count(
-        counts_f, n_contrib, grad_capacity, idx_f.shape[1])
+        counts_f, n_contrib, grad_capacity, grad_budget, idx_f.shape[1])
 
 
 def _grad_slots(grad_capacity: int, K: int) -> int:
     return K if grad_capacity <= 0 else min(K, grad_capacity)
 
 
-def _grad_trunc_count(counts_f, n_contrib, grad_capacity, K):
-    """Slots per tile that carry gradient but fall past grad_capacity."""
+def _k_hi(counts_f, n_contrib, grad_capacity, K):
+    """Per-tile deepest slot carrying gradient, clipped to the cap."""
+    k_hi = jnp.minimum(counts_f.astype(jnp.int32),
+                       jnp.max(n_contrib, axis=(1, 2)))
+    return jnp.minimum(k_hi, _grad_slots(grad_capacity, K))
+
+
+def _grad_trunc_count(counts_f, n_contrib, grad_capacity, grad_budget, K):
+    """Slots that carry gradient but fall past grad_capacity/grad_budget."""
     kb = _grad_slots(grad_capacity, K)
     k_hi = jnp.minimum(counts_f.astype(jnp.int32),
                        jnp.max(n_contrib, axis=(1, 2)))
-    return jnp.sum(jnp.maximum(k_hi - kb, 0)).astype(jnp.int32)
+    trunc = jnp.sum(jnp.maximum(k_hi - kb, 0))
+    if grad_budget > 0:
+        total = jnp.sum(jnp.minimum(k_hi, kb))
+        trunc = trunc + jnp.maximum(total - grad_budget, 0)
+    return trunc.astype(jnp.int32)
 
 
-def _gathered_fwd(consts, grad_capacity, page, attrs16, idx_f, counts_f, bg):
+def _gathered_fwd(consts, attrs16, idx_f, counts_f, bg, page):
     from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
     page = page or blend_pallas.default_page()
@@ -396,18 +408,18 @@ def _gathered_fwd(consts, grad_capacity, page, attrs16, idx_f, counts_f, bg):
     return out, final_T, n_contrib, attrs_paged
 
 
-def _gathered_fwd_rule(consts, grad_capacity, page, attrs16, idx_f,
-                       counts_f, bg):
+def _gathered_fwd_rule(consts, grad_capacity, grad_budget, page, attrs16,
+                       idx_f, counts_f, bg):
     out, final_T, n_contrib, attrs_paged = _gathered_fwd(
-        consts, grad_capacity, page, attrs16, idx_f, counts_f, bg)
-    n_trunc = _grad_trunc_count(counts_f, n_contrib,
-                                grad_capacity, idx_f.shape[1])
+        consts, attrs16, idx_f, counts_f, bg, page)
+    n_trunc = _grad_trunc_count(counts_f, n_contrib, grad_capacity,
+                                grad_budget, idx_f.shape[1])
     res = (attrs16.shape[0], attrs_paged, idx_f, counts_f, bg, final_T,
            n_contrib)
     return (out, final_T, n_trunc), res
 
 
-def _gathered_bwd_rule(consts, grad_capacity, page, res, cts):
+def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
     from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
     N, attrs_paged, idx_f, counts_f, bg, final_T, n_contrib = res
@@ -420,13 +432,42 @@ def _gathered_bwd_rule(consts, grad_capacity, page, res, cts):
         jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib)
     T_tiles, NC, R, page = grads.shape
     K = NC * page
-    kb = _grad_slots(grad_capacity, K)
-    ncb = -(-kb // page)  # slice whole pages
-    idx = idx_f.astype(jnp.int32)[:, : ncb * page]
-    g_rows = grads[:, :ncb].transpose(0, 1, 3, 2).reshape(
-        T_tiles * ncb * page, R)
-    d_attrs16 = jnp.zeros((N, R), jnp.float32).at[idx.reshape(-1)].add(
-        g_rows, mode="promise_in_bounds")
+    idx = idx_f.astype(jnp.int32)
+    if grad_budget > 0:
+        # Compacted scatter: enumerate only the (tile, k) positions with
+        # k < k_hi — the slots that can carry gradient — into a static
+        # budget of rows.  The ragged concat uses the scatter-ones +
+        # cumsum trick (no searchsorted); overflow beyond the budget is
+        # reported by the forward's n_grad_truncated.
+        B = grad_budget
+        k_hi = _k_hi(counts_f, n_contrib, grad_capacity, K)  # [T]
+        off = jnp.cumsum(k_hi) - k_hi  # exclusive [T]
+        total = off[-1] + k_hi[-1]
+        marks = jnp.zeros((B,), jnp.int32).at[off[1:]].add(
+            1, mode="drop")  # zero-depth tiles stack marks: .add, not .set
+        p = jnp.arange(B, dtype=jnp.int32)
+        t_of_p = jnp.cumsum(marks)
+        k_of_p = p - off.at[t_of_p].get(mode="promise_in_bounds")
+        valid = p < total
+        t_c = jnp.where(valid, t_of_p, 0)
+        k_c = jnp.where(valid, k_of_p, 0)
+        # slot-major rows first: indexing the lane (page) axis per row is
+        # a lane-gather, ~8x slower than a row gather (CLAUDE.md rules)
+        pos = t_c * K + k_c
+        g_flat = grads.transpose(0, 1, 3, 2).reshape(T_tiles * K, R)
+        g_rows = g_flat.at[pos].get(mode="promise_in_bounds")  # [B, R]
+        gidx = idx.reshape(-1).at[pos].get(mode="promise_in_bounds")
+        d_attrs16 = jnp.zeros((N, R), jnp.float32).at[gidx].add(
+            jnp.where(valid[:, None], g_rows, 0.0),
+            mode="promise_in_bounds")
+    else:
+        kb = _grad_slots(grad_capacity, K)
+        ncb = -(-kb // page)  # slice whole pages
+        g_rows = grads[:, :ncb].transpose(0, 1, 3, 2).reshape(
+            T_tiles * ncb * page, R)
+        d_attrs16 = jnp.zeros((N, R), jnp.float32).at[
+            idx[:, : ncb * page].reshape(-1)].add(
+            g_rows, mode="promise_in_bounds")
     return (d_attrs16, jnp.zeros_like(idx_f), jnp.zeros_like(counts_f), d_bg)
 
 

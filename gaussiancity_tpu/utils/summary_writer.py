@@ -40,6 +40,14 @@ class SummaryWriter:
                 wandb.init(project=wandb_project, id=wandb_run_id,
                            resume="allow" if wandb_run_id else None,
                            dir=self.log_dir)
+                # snapshot the source tree into the run (reference:
+                # utils/summary_writer.py:33-39 logs the code dir)
+                code_dir = os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))
+                try:
+                    wandb.run.log_code(code_dir)
+                except Exception:
+                    pass
             except Exception:
                 self._wandb = None
 

@@ -149,3 +149,21 @@ class TestGradCapacity:
         out_full = rasterize(*scene, cam, CFG_PALLAS)
         assert int(out_full.n_grad_truncated) == 0
         assert int(out_b.n_grad_truncated) > 0
+
+    def test_grad_budget_compacted_matches_dense(self):
+        # budget covering sum(k_hi): identical grads to the dense scatter
+        cam, scene = small_setup(seed=11, n=96)
+        g_dense = self._grads(cam, scene, CFG_PALLAS)
+        cfg_b = CFG_PALLAS.replace(grad_budget=4096)
+        out = rasterize(*scene, cam, cfg_b)
+        assert int(out.n_grad_truncated) == 0
+        g_budget = self._grads(cam, scene, cfg_b)
+        for gd, gb in zip(g_dense, g_budget):
+            np.testing.assert_allclose(np.asarray(gd), np.asarray(gb),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_grad_budget_overflow_is_counted(self):
+        cam, scene = small_setup(seed=12, n=96)
+        cfg_b = CFG_PALLAS.replace(grad_budget=16)
+        out = rasterize(*scene, cam, cfg_b)
+        assert int(out.n_grad_truncated) > 0

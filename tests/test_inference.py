@@ -148,3 +148,101 @@ class TestInferenceFromCheckpoint:
                                        altitude=30)
         frames = pipe.render_trajectory(proj2, centers, poses)
         assert len(frames) == 1 and frames[0].std() > 0
+
+
+class TestSelectNearest:
+    def test_keeps_nearest_preserves_order(self):
+        from gaussiancity_tpu.inference.pipeline import select_nearest
+
+        pts = np.zeros((6, 9), np.float32)
+        pts[:, 0] = [10, 1, 7, 2, 9, 3]  # x = distance from origin cam
+        pts[:, 4] = np.arange(6)  # tag rows via instance col
+        pad, mask, dropped = select_nearest(pts, np.zeros(3), 4)
+        assert dropped == 2
+        assert mask.sum() == 4
+        # nearest four are x in {1, 2, 3, 7}, original order preserved
+        np.testing.assert_array_equal(pad[mask][:, 0], [1, 7, 2, 3])
+
+    def test_under_budget_pads(self):
+        from gaussiancity_tpu.inference.pipeline import select_nearest
+
+        pts = np.ones((3, 9), np.float32)
+        pad, mask, dropped = select_nearest(pts, np.zeros(3), 8)
+        assert dropped == 0 and mask.sum() == 3 and pad.shape == (8, 9)
+
+
+def _two_model_pipe(N=1024):
+    cfg = tiny_cfg()
+    P = cfg.dataset.proj_size
+    rng = jax.random.PRNGKey(0)
+    rest = Generator(cfg=cfg.network, n_classes=8, proj_size=P)
+    rest_p = rest.init(
+        rng, jnp.zeros((1, N, 2)), jnp.zeros((1, N, 3)), None,
+        jnp.zeros((1, N, 8)), None, jnp.zeros((1, P, P, 1)),
+        jnp.zeros((1, P, P, 8)), jnp.ones((1, N), bool))["params"]
+    bldg_net = cfg.network.replace(
+        encoder=None, encoder_out_dim=3, pos_emd="SIN_COS",
+        sin_cos_freq_bends=4, z_dim=8)
+    bldg = Generator(cfg=bldg_net, n_classes=8, proj_size=P)
+    bldg_p = bldg.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, N, 2)), jnp.zeros((1, N, 3)),
+        None, jnp.zeros((1, N, 8)), jnp.zeros((1, N, 8)),
+        jnp.zeros((1, P, P, 1)), jnp.zeros((1, P, P, 8)),
+        jnp.ones((1, N), bool))["params"]
+    pipe = InferencePipeline(
+        cfg, {"REST": (rest, rest_p), "BLDG": (bldg, bldg_p)},
+        max_points=N, vol_shape=(72, 72, 24),
+        class_budgets={"REST": N, "BLDG": N // 2})
+    return cfg, pipe
+
+
+class TestCompactClassPath:
+    """Compacted per-class inference (reference splits classes ragged,
+    scripts/inference.py:455-507): per-class outputs must equal the dense
+    masked path point-for-point (for pointwise generators), and the
+    trajectory renderer must work end-to-end with budgets."""
+
+    def test_single_matches_dense_selection(self):
+        cfg, pipe = _two_model_pipe()
+        N = pipe.max_points
+        P = cfg.dataset.proj_size
+        rng = np.random.default_rng(3)
+        pts9 = np.zeros((N, 9), np.float32)
+        pts9[:, 0] = rng.uniform(0, P, N)
+        pts9[:, 1] = rng.uniform(0, P, N)
+        pts9[:, 2] = rng.uniform(0, 20, N)
+        pts9[:, 3] = 1.0
+        pts9[:, 4] = rng.choice([1, 2, 100, 101], N)  # rest + bldg ins
+        pts9[:, 5:8] = rng.uniform(-1, 1, (N, 3))
+        mask = np.ones(N, bool)
+        lut = jnp.asarray(get_style_lut({}, z_dim=8))
+        hf = jnp.zeros((P, P, 1))
+        seg = jnp.zeros((P, P, 8))
+        params_map = {n: p for n, (_, p) in pipe.models.items()}
+        dense = pipe.predict_attrs(params_map, jnp.asarray(pts9),
+                                   jnp.asarray(mask), hf, seg, None, lut)
+        masks = pipe.host_class_split(pts9)
+        for name in pipe.models:
+            single = pipe.predict_attrs_single(
+                name, params_map[name], jnp.asarray(pts9),
+                jnp.asarray(mask), hf, seg, None, lut)
+            m = masks[name]
+            assert m.any()
+            np.testing.assert_allclose(
+                np.asarray(single)[m], np.asarray(dense)[m],
+                rtol=1e-6, atol=1e-6)
+
+    def test_render_trajectory_compact(self, tmp_path):
+        cfg, pipe = _two_model_pipe()
+        P = cfg.dataset.proj_size
+        projections = synthetic_projections(P)
+        centers = {int(i): (32.0, 32.0, 64.0, 64.0, 20.0)
+                   for i in range(0, 200)}
+        poses = get_orbit_camera_poses(P, n_points=1, radius=30, altitude=30)
+        frames = pipe.render_trajectory(projections, centers, poses,
+                                        style_lut=np.ones((512, 8),
+                                                          np.float32))
+        assert len(frames) == 1
+        H, W = cfg.dataset.sensor_size[1], cfg.dataset.sensor_size[0]
+        assert frames[0].shape == (H, W, 3)
+        assert frames[0].std() > 1.0
