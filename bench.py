@@ -379,13 +379,15 @@ def bench_frame_e2e(jax, jnp):
     stages = {"vis_s": 0.0, "host_s": 0.0, "frame_fn_s": 0.0}
     n_timed = 0
     img = None
-    for it, pose in enumerate(poses):
+    # two passes: the first warms every slab size class (sticky grow-only
+    # buckets) + all jits; only the second pass is timed
+    for it, pose in enumerate(list(poses) + list(poses[1:])):
         cam_pos = np.array([pose["tx"], pose["ty"], pose["tz"]], np.float32)
         cam_quat = np.array([pose["qx"], pose["qy"], pose["qz"],
                              pose["qw"]], np.float32)
         t0 = _t.time()
-        vis_pts, ins_map = pipe.visible_points(points_all, cam_pos.copy(),
-                                               cam_quat)
+        vis_pts, road = pipe.visible_points(points_all, cam_pos.copy(),
+                                            cam_quat)
         t1 = _t.time()
         pts9 = pipe.normalize_points(vis_pts, centers)
         masks = pipe.host_class_split(pts9)
@@ -397,9 +399,9 @@ def bench_frame_e2e(jax, jnp):
         t2 = _t.time()
         img = np.asarray(pipe.frame_to_uint8(frame_fn(
             buckets, proj_hf, proj_seg, None, lut, jnp.asarray(cam_pos),
-            jnp.asarray(cam_quat), jnp.asarray(ins_map == 1))))
+            jnp.asarray(cam_quat), jnp.asarray(road))))
         t3 = _t.time()
-        if it > 0:  # frame 0 is warmup/compile
+        if it >= len(poses):  # first pass is warmup/compile
             stages["vis_s"] += t1 - t0
             stages["host_s"] += t2 - t1
             stages["frame_fn_s"] += t3 - t2

@@ -231,23 +231,33 @@ class InferencePipeline:
         if not hasattr(self, "_vis_fn"):
             import functools
 
-            self._vis_fn = jax.jit(functools.partial(
-                vis.visible_from_volume,
-                cam_f=float(K[0, 0]),
-                cam_c=(float(K[1, 2]), float(K[0, 2])),
-                img_dims=(H, W)))
-        vp_map, ins_map = self._vis_fn(
+            def vis_compact(vol, pts, cpos, cquat, offsets, occupancy):
+                """Raycast + on-device compaction: fetch a [N] visible
+                bitmask (0.6 MB) + [H, W] road bitmask (0.5 MB) instead
+                of two [H, W] int32 id maps (~4 MB) — device->host bytes
+                dominate per-frame visibility over a remote link."""
+                vp_map, ins_map = vis.visible_from_volume(
+                    vol, pts, cpos, cquat,
+                    cam_f=float(K[0, 0]),
+                    cam_c=(float(K[1, 2]), float(K[0, 2])),
+                    img_dims=(H, W), offsets=offsets, occupancy=occupancy)
+                n = pts.shape[0]
+                # point ids are 1-based; vp == -1 means sky (slot 0)
+                seen = jnp.zeros((n + 2,), bool).at[
+                    (vp_map + 1).reshape(-1)].set(
+                    True, mode="promise_in_bounds")
+                return seen[2:], ins_map == 1  # ROAD class id
+
+            self._vis_fn = jax.jit(vis_compact)
+        seen, road = self._vis_fn(
             self._vol, self._pts_dev,
             jnp.asarray(cam_pos, jnp.float32),
             jnp.asarray(cam_quat, jnp.float32),
-            offsets=jnp.asarray(offsets),
-            occupancy=self._occ,
+            jnp.asarray(offsets),
+            self._occ,
         )
-        vp = np.asarray(vp_map)
-        ins_map = np.asarray(ins_map)
-        vp_idx = np.unique(vp)
-        vp_idx = vp_idx[vp_idx >= 0]
-        return points[vp_idx], ins_map
+        vp_idx = np.nonzero(np.asarray(seen))[0]
+        return points[vp_idx], np.asarray(road)
 
     def normalize_points(self, pts: np.ndarray, centers) -> np.ndarray:
         """[N, 5] -> [N, 9] with per-instance rel coords + batch idx
@@ -510,10 +520,9 @@ class InferencePipeline:
                                np.float32)
             cam_quat = np.array([pose["qx"], pose["qy"], pose["qz"],
                                  pose["qw"]], np.float32)
-            vis_pts, ins_map = self.visible_points(
+            vis_pts, road = self.visible_points(
                 points_all, cam_pos.copy(), cam_quat)
             pts9 = self.normalize_points(vis_pts, centers)
-            road = ins_map == 1  # ROAD class id
             if compact:
                 masks = self.host_class_split(pts9)
                 buckets = {}

@@ -169,16 +169,18 @@ def bin_gaussians(
     n_dropped = jnp.zeros((), jnp.int32)
 
     def add_part(tid, idx, sub):
-        """tid/idx/sub: [cap, count] tile ids, gauss indices, subkeys."""
+        """tid/idx/sub: [cap, count] tile ids, gauss indices, subkeys.
+
+        (A payload-free variant — recovering ids as order_by_depth[rank]
+        after the slot gather — was measured SLOWER on chip: the two
+        recovery gathers cost more than the 1-vs-2-array sort saves.)"""
+        tile_parts.append(tid.reshape(-1))
+        idx_parts.append(
+            jnp.broadcast_to(idx[None, :], tid.shape).reshape(-1))
         if packed_key:
-            # the Gaussian id is recoverable from the rank inside the key
-            # (order_by_depth[rank]), so the sort needs NO payload
             key_parts.append(
                 ((tid << rank_bits) | sub[None, :]).reshape(-1))
         else:
-            tile_parts.append(tid.reshape(-1))
-            idx_parts.append(
-                jnp.broadcast_to(idx[None, :], tid.shape).reshape(-1))
             key_parts.append(
                 jnp.broadcast_to(sub[None, :], tid.shape).reshape(-1))
 
@@ -228,15 +230,12 @@ def bin_gaussians(
             jnp.maximum(area_main - D, 0)).astype(jnp.int32)
 
     cat = (lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps))
+    pair_idx = cat(idx_parts)
+    n_pairs = pair_idx.shape[0]
     if packed_key:
-        key_s = jax.lax.sort(cat(key_parts))  # payload-free sort
-        n_pairs = key_s.shape[0]
+        key_s, idx_s = jax.lax.sort((cat(key_parts), pair_idx), num_keys=1)
         tile_s = key_s >> rank_bits
-        rank_s = key_s & ((1 << rank_bits) - 1)
-        idx_s = None  # gauss ids recovered post-gather from rank_s
     else:
-        pair_idx = cat(idx_parts)
-        n_pairs = pair_idx.shape[0]
         tile_s, _, idx_s = jax.lax.sort(
             (cat(tile_parts), cat(key_parts), pair_idx), num_keys=2,
             is_stable=True)
@@ -253,14 +252,8 @@ def bin_gaussians(
     k = jnp.arange(K, dtype=jnp.int32)
     gather_pos = jnp.minimum(starts[:, None] + k[None, :], n_pairs - 1)
     kmask = k[None, :] < counts[:, None]
-    if idx_s is None:
-        # rank -> gaussian id through the (small) depth-order table
-        rank_g = rank_s.at[gather_pos].get(mode="promise_in_bounds")
-        gauss_index = order_by_depth.at[
-            jnp.minimum(rank_g, N - 1)].get(mode="promise_in_bounds")
-    else:
-        gauss_index = idx_s.at[gather_pos].get(
-            mode="promise_in_bounds")  # [T, K]
+    gauss_index = idx_s.at[gather_pos].get(
+        mode="promise_in_bounds")  # [T, K]
     gauss_index = jnp.where(kmask, gauss_index, 0)
 
     return TileBins(

@@ -208,7 +208,7 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
                 ft_ref,  # VMEM [1, TH, TW] final_T
                 nc_ref,  # VMEM [1, TH, TW] n_contrib
                 grads_ref,  # VMEM [1, NC, 16, 128] output
-                scratch_ref,  # VMEM [9, CHUNK, TW] partial-sum scratch
+                scratch_ref,  # VMEM [6, CHUNK, TW] partial-sum scratch
                 ):
     TH, TW = consts.tile_h, consts.tile_w
     NC = attrs_ref.shape[1]
@@ -220,6 +220,18 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
     y0 = ((pid // n_tx) * TH).astype(jnp.float32)
     px = x0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
     py = y0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
+    # tile-CENTERED pixel coords for the moment basis: px can reach the
+    # sensor width, and centered moments minimize the recombination
+    # cancellation (mx_l*m0 - m_px) in f32
+    pyl = (jax.lax.broadcasted_iota(jnp.int32, (TH, 1), 0).astype(
+        jnp.float32) - (TH - 1) / 2.0)
+    pxl_row = (jax.lax.broadcasted_iota(
+        jnp.int32, (1, TW), 1).astype(jnp.float32) - (TW - 1) / 2.0)
+    # lane-contraction basis {1, pxl, pxl^2} for the per-chunk moment
+    # matmuls (dn contracts the TW lane axis of both operands)
+    bx = jnp.concatenate(
+        [jnp.ones((1, TW), jnp.float32), pxl_row, pxl_row * pxl_row], axis=0)
+    dn = (((1,), (1,)), ((), ()))
 
     g_r = gout_ref[0, 0]
     g_g = gout_ref[0, 1]
@@ -270,33 +282,68 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
             lc_g = jnp.where(ok, cg_j, lc_g)
             lc_b = jnp.where(ok, cb_j, lc_b)
 
-            op = attrs[ROW_OP, j]
-            ca = attrs[ROW_CA, j]
-            cb = attrs[ROW_CB, j]
-            cc = attrs[ROW_CC, j]
-            dL_dG = op * dL_dalpha
-            gdx = G * dx
-            gdy = G * dy
-
-            # Defer the (expensive) lane reduction: store only the sublane
-            # partial sum (TH, TW) -> (1, TW) per slot; one lane-reduction
-            # per chunk finishes the job below.
+            # Store only SIX sublane-reduced (1, TW) rows per slot; the
+            # six geometric gradients are recovered per chunk from pixel
+            # MOMENTS of v = G*dL_dalpha (an MXU lane contraction with
+            # {1, pxl, pxl^2}) instead of nine per-slot field reductions
+            # — all d_* fields are op * v * poly(dx, dy) with dx = mx-px.
             def _put(row, field, _j=j):
                 scratch_ref[row, _j: _j + 1, :] = jnp.sum(
                     field, axis=0, keepdims=True)
 
-            _put(ROW_MX, dL_dG * (-gdx * ca - gdy * cb))
-            _put(ROW_MY, dL_dG * (-gdy * cc - gdx * cb))
-            _put(ROW_CA, -0.5 * gdx * dx * dL_dG)
-            _put(ROW_CB, -gdx * dy * dL_dG)
-            _put(ROW_CC, -0.5 * gdy * dy * dL_dG)
-            _put(ROW_OP, G * dL_dalpha)
-            _put(ROW_CR, w_pix * g_r)
-            _put(ROW_CG, w_pix * g_g)
-            _put(ROW_CB2, w_pix * g_b)
+            v = G * dL_dalpha
+            vy = v * pyl
+            _put(0, v)
+            _put(1, vy)
+            _put(2, vy * pyl)
+            _put(3, w_pix * g_r)
+            _put(4, w_pix * g_g)
+            _put(5, w_pix * g_b)
 
-        # finish the reductions for the whole chunk in one pass
-        grads_ref[0, ci, 0:N_GRAD_ROWS, :] = jnp.sum(scratch_ref[:], axis=2)
+        # per-chunk moment matmuls: [3, TW] x [CHUNK, TW] -> [3, CHUNK]
+        # (HIGHEST precision: pxl^2 reaches TW^2 — a demoted bf16 pass
+        # would lose the recombination below to cancellation)
+        hi = jax.lax.Precision.HIGHEST
+        m_v = jax.lax.dot_general(bx, scratch_ref[0], dn,
+                                  precision=hi)  # rows: m0, m_px, m_pxx
+        m_y = jax.lax.dot_general(bx[0:2], scratch_ref[1], dn,
+                                  precision=hi)  # rows: m_py, m_pxy
+        m_yy = jax.lax.dot_general(bx[0:1], scratch_ref[2], dn,
+                                   precision=hi)  # row: m_pyy
+        ones_row = bx[0:1]
+        d_col = jnp.concatenate([
+            jax.lax.dot_general(ones_row, scratch_ref[3], dn, precision=hi),
+            jax.lax.dot_general(ones_row, scratch_ref[4], dn, precision=hi),
+            jax.lax.dot_general(ones_row, scratch_ref[5], dn, precision=hi),
+        ], axis=0)  # [3, CHUNK]
+
+        m0 = m_v[0:1]
+        m_px = m_v[1:2]
+        m_pxx = m_v[2:3]
+        m_py = m_y[0:1]
+        m_pxy = m_y[1:2]
+        m_pyy = m_yy[0:1]
+        mxl = attrs[ROW_MX:ROW_MX + 1] - (x0 + (TW - 1) / 2.0)
+        myl = attrs[ROW_MY:ROW_MY + 1] - (y0 + (TH - 1) / 2.0)
+        ca_r = attrs[ROW_CA:ROW_CA + 1]
+        cb_r = attrs[ROW_CB:ROW_CB + 1]
+        cc_r = attrs[ROW_CC:ROW_CC + 1]
+        op_r = attrs[ROW_OP:ROW_OP + 1]
+        s_dx = mxl * m0 - m_px
+        s_dy = myl * m0 - m_py
+        s_dxx = mxl * (mxl * m0 - 2.0 * m_px) + m_pxx
+        s_dxy = mxl * myl * m0 - mxl * m_py - myl * m_px + m_pxy
+        s_dyy = myl * (myl * m0 - 2.0 * m_py) + m_pyy
+        rows = jnp.concatenate([
+            -op_r * (ca_r * s_dx + cb_r * s_dy),   # ROW_MX
+            -op_r * (cc_r * s_dy + cb_r * s_dx),   # ROW_MY
+            -0.5 * op_r * s_dxx,                   # ROW_CA
+            -op_r * s_dxy,                         # ROW_CB
+            -0.5 * op_r * s_dyy,                   # ROW_CC
+            m0,                                    # ROW_OP
+            d_col,                                 # ROW_CR/CG/CB2
+        ], axis=0)
+        grads_ref[0, ci, 0:N_GRAD_ROWS, :] = rows
         return (ci - 1, T_cur, ar_r, ar_g, ar_b, la, lc_r, lc_g, lc_b)
 
     def chunk_cond(state):
@@ -334,7 +381,7 @@ def blend_tiles_pallas_bwd(
             pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_GRAD_ROWS, CHUNK, consts.tile_w), jnp.float32),
+            pltpu.VMEM((6, CHUNK, consts.tile_w), jnp.float32),
         ],
     )
     fn = pl.pallas_call(

@@ -53,8 +53,11 @@ class TestPallasBlend:
         g_p = jax.grad(make_loss(CFG_PALLAS), argnums=(0, 1, 2, 3, 4))(*scene)
         for name, gx, gp in zip("means op sc qu co".split(), g_x, g_p):
             scale = np.maximum(np.abs(np.asarray(gx)).max(), 1e-8)
+            # 2e-5: the kernel recovers the geometric gradients from
+            # tile-centered pixel moments (algebraically identical to the
+            # per-slot fields; f32 recombination rounding differs)
             np.testing.assert_allclose(
-                np.asarray(gp) / scale, np.asarray(gx) / scale, atol=1e-5,
+                np.asarray(gp) / scale, np.asarray(gx) / scale, atol=2e-5,
                 err_msg=f"pallas grad mismatch: {name}",
             )
 
