@@ -70,7 +70,12 @@ def bench_rasterizer(jax, jnp):
     # grad_budget 131072 covers sum-per-tile depth (75k) with ~1.7x
     # headroom: the backward scatters 131k compacted rows instead of the
     # 287k dense [tiles, 1024] rows (or 430k unbounded).
+    # bin_tiers sized to this scene's measured area histogram (n_over(4)
+    # = 12847 < 13312, n_over(16) = 3155 < 3328, area(1025th) = 36,
+    # area(129th) = 90): 601k sorted pairs, still zero drops (asserted).
     cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=4,
+                           bin_tiers=((13312, 16), (3328, 48), (1024, 96),
+                                      (128, 0)),
                            grad_capacity=1024, grad_budget=131072,
                            backend=backend)
     scene = tuple(map(jnp.asarray, build_scene()))
