@@ -366,10 +366,11 @@ def blend_gathered(
 ):
     """Returns (out [T, TH, TW, 3] incl. background, final_T [T, TH, TW],
     n_grad_truncated scalar int32)."""
-    out, final_T, n_contrib, _ = _gathered_fwd(
+    out, final_T, n_contrib, attrs_paged = _gathered_fwd(
         consts, attrs16, idx_f, counts_f, bg, page)
     return out, final_T, _grad_trunc_count(
-        counts_f, n_contrib, grad_capacity, grad_budget, idx_f.shape[1])
+        counts_f, n_contrib, grad_capacity, grad_budget, idx_f.shape[1],
+        attrs_paged.shape[3])
 
 
 def _grad_slots(grad_capacity: int, K: int) -> int:
@@ -383,14 +384,18 @@ def _k_hi(counts_f, n_contrib, grad_capacity, K):
     return jnp.minimum(k_hi, _grad_slots(grad_capacity, K))
 
 
-def _grad_trunc_count(counts_f, n_contrib, grad_capacity, grad_budget, K):
-    """Slots that carry gradient but fall past grad_capacity/grad_budget."""
+def _grad_trunc_count(counts_f, n_contrib, grad_capacity, grad_budget, K,
+                      page):
+    """Slots that carry gradient but fall past grad_capacity/grad_budget.
+    The compacted scatter consumes whole PAGES per tile (contiguous
+    dynamic-slice reads), so the budget check is page-rounded."""
     kb = _grad_slots(grad_capacity, K)
     k_hi = jnp.minimum(counts_f.astype(jnp.int32),
                        jnp.max(n_contrib, axis=(1, 2)))
     trunc = jnp.sum(jnp.maximum(k_hi - kb, 0))
     if grad_budget > 0:
-        total = jnp.sum(jnp.minimum(k_hi, kb))
+        kh = jnp.minimum(k_hi, kb)
+        total = jnp.sum(-(-kh // page) * page)
         trunc = trunc + jnp.maximum(total - grad_budget, 0)
     return trunc.astype(jnp.int32)
 
@@ -413,7 +418,8 @@ def _gathered_fwd_rule(consts, grad_capacity, grad_budget, page, attrs16,
     out, final_T, n_contrib, attrs_paged = _gathered_fwd(
         consts, attrs16, idx_f, counts_f, bg, page)
     n_trunc = _grad_trunc_count(counts_f, n_contrib, grad_capacity,
-                                grad_budget, idx_f.shape[1])
+                                grad_budget, idx_f.shape[1],
+                                attrs_paged.shape[3])
     res = (attrs16.shape[0], attrs_paged, idx_f, counts_f, bg, final_T,
            n_contrib)
     return (out, final_T, n_trunc), res
@@ -434,31 +440,41 @@ def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
     K = NC * page
     idx = idx_f.astype(jnp.int32)
     if grad_budget > 0:
-        # Compacted scatter: enumerate only the (tile, k) positions with
-        # k < k_hi — the slots that can carry gradient — into a static
-        # budget of rows.  The ragged concat uses the scatter-ones +
-        # cumsum trick (no searchsorted); overflow beyond the budget is
-        # reported by the forward's n_grad_truncated.
-        B = grad_budget
+        # Compacted scatter: enumerate only the PAGES of (tile, k)
+        # positions with k < k_hi — the slots that can carry gradient —
+        # into a static budget of rows.  The ragged concat uses the
+        # scatter-ones + cumsum trick (no searchsorted); pages are read
+        # with batched dynamic_slice (contiguous — an element gather here
+        # measured ~80x slower, CLAUDE.md rules); overflow beyond the
+        # budget is reported by the forward's n_grad_truncated.
+        BP = grad_budget // page
         k_hi = _k_hi(counts_f, n_contrib, grad_capacity, K)  # [T]
-        off = jnp.cumsum(k_hi) - k_hi  # exclusive [T]
-        total = off[-1] + k_hi[-1]
-        marks = jnp.zeros((B,), jnp.int32).at[off[1:]].add(
+        pages_t = -(-k_hi // page)  # [T]
+        poff = jnp.cumsum(pages_t) - pages_t  # exclusive [T]
+        total_p = poff[-1] + pages_t[-1]
+        marks = jnp.zeros((BP,), jnp.int32).at[poff[1:]].add(
             1, mode="drop")  # zero-depth tiles stack marks: .add, not .set
-        p = jnp.arange(B, dtype=jnp.int32)
+        p = jnp.arange(BP, dtype=jnp.int32)
         t_of_p = jnp.cumsum(marks)
-        k_of_p = p - off.at[t_of_p].get(mode="promise_in_bounds")
-        valid = p < total
-        t_c = jnp.where(valid, t_of_p, 0)
-        k_c = jnp.where(valid, k_of_p, 0)
+        q_of_p = p - poff.at[t_of_p].get(mode="promise_in_bounds")
+        vpage = p < total_p
+        t_c = jnp.where(vpage, t_of_p, 0)
+        q_c = jnp.where(vpage, q_of_p, 0)
+        row0 = t_c * K + q_c * page  # [BP] page start rows
         # slot-major rows first: indexing the lane (page) axis per row is
         # a lane-gather, ~8x slower than a row gather (CLAUDE.md rules)
-        pos = t_c * K + k_c
         g_flat = grads.transpose(0, 1, 3, 2).reshape(T_tiles * K, R)
-        g_rows = g_flat.at[pos].get(mode="promise_in_bounds")  # [B, R]
-        gidx = idx.reshape(-1).at[pos].get(mode="promise_in_bounds")
-        d_attrs16 = jnp.zeros((N, R), jnp.float32).at[gidx].add(
-            jnp.where(valid[:, None], g_rows, 0.0),
+        g_pages = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            g_flat, (s, 0), (page, R)))(row0)  # [BP, page, R]
+        i_pages = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            idx.reshape(-1), (s,), (page,)))(row0)  # [BP, page]
+        khi_c = k_hi.at[t_c].get(mode="promise_in_bounds")
+        rvalid = vpage[:, None] & (
+            q_c[:, None] * page + jnp.arange(page)[None, :]
+            < khi_c[:, None])
+        d_attrs16 = jnp.zeros((N, R), jnp.float32).at[
+            jnp.where(rvalid, i_pages, 0).reshape(-1)].add(
+            jnp.where(rvalid[..., None], g_pages, 0.0).reshape(-1, R),
             mode="promise_in_bounds")
     else:
         kb = _grad_slots(grad_capacity, K)
