@@ -383,6 +383,14 @@ class Config(_Base):
 # ---------------------------------------------------------------------------
 
 
+def _recipe_rasterizer() -> RasterizerConfig:
+    """Training-shape rasterizer: 16k points / 640x448 crops.  The
+    compacted backward (grad_budget) covers sum-of-depth with large
+    headroom; RasterGradTruncated in the train metrics flags any scene
+    that exceeds it (gradients stay exact while it reads 0)."""
+    return RasterizerConfig(grad_budget=65536)
+
+
 def rest_recipe(dataset: str = "GOOGLE_EARTH") -> Config:
     """Background (REST) generator: GLOBAL encoder, hash-grid, PTv3 off."""
     ds = google_earth_dataset() if dataset == "GOOGLE_EARTH" else kitti_360_dataset()
@@ -399,7 +407,8 @@ def rest_recipe(dataset: str = "GOOGLE_EARTH") -> Config:
         z_dim=None,
         ptv3=PTv3Config(enabled=False),
     )
-    return Config(exp_name="REST", dataset=ds, network=net)
+    return Config(exp_name="REST", dataset=ds, network=net,
+                  rasterizer=_recipe_rasterizer())
 
 
 def bldg_recipe(dataset: str = "GOOGLE_EARTH") -> Config:
@@ -420,7 +429,8 @@ def bldg_recipe(dataset: str = "GOOGLE_EARTH") -> Config:
         z_dim=256,
         ptv3=PTv3Config(enabled=True, pool_capacity_divisor=2),
     )
-    return Config(exp_name="BLDG", dataset=ds, network=net)
+    return Config(exp_name="BLDG", dataset=ds, network=net,
+                  rasterizer=_recipe_rasterizer())
 
 
 def car_recipe() -> Config:
@@ -439,4 +449,5 @@ def car_recipe() -> Config:
         z_dim=256,
         ptv3=PTv3Config(enabled=True),
     )
-    return Config(exp_name="CAR", dataset=ds, network=net)
+    return Config(exp_name="CAR", dataset=ds, network=net,
+                  rasterizer=_recipe_rasterizer())

@@ -86,27 +86,44 @@ class RaycastResult(NamedTuple):
     raydirs: jnp.ndarray  # [H, W, 3]
 
 
-def pack_occupancy(volume: jnp.ndarray):
-    """(occ_words [h, w, ceil(d/32)] uint32 — bit z%32 of word z//32 set
-    iff volume[y, x, z] != 0; ztop f32 — 1 + highest occupied z).
+COARSE = 8  # supervoxel edge (fine cells per coarse cell)
 
-    Built once per volume: trajectory renderers cache it next to the id
-    volume so per-frame raycasts don't re-pack 50M voxels."""
-    h, w, d = volume.shape
+
+def _bitpack(occ: jnp.ndarray):
+    """[h, w, d] bool -> [h, w, ceil(d/32)] uint32 (bit z%32 of z//32)."""
+    h, w, d = occ.shape
     dw = -(-d // 32)
-    occ = volume != 0
     pad_d = dw * 32 - d
     if pad_d:
         occ = jnp.concatenate(
             [occ, jnp.zeros((h, w, pad_d), bool)], axis=-1)
     bitpos = jnp.arange(32, dtype=jnp.uint32)
-    occ_words = jnp.sum(
+    return jnp.sum(
         occ.reshape(h, w, dw, 32).astype(jnp.uint32)
         << bitpos[None, None, None, :], axis=-1)
+
+
+def pack_occupancy(volume: jnp.ndarray):
+    """(occ_words [h, w, ceil(d/32)] uint32, ztop f32 — 1 + highest
+    occupied z, coarse_words [h/8, w/8, ceil(d/8/32)] uint32 supervoxel
+    occupancy for the hierarchical march).
+
+    Built once per volume: trajectory renderers cache it next to the id
+    volume so per-frame raycasts don't re-pack 50M voxels."""
+    h, w, d = volume.shape
+    occ = volume != 0
+    occ_words = _bitpack(occ)
     ztop = (jnp.max(jnp.where(
-        jnp.any(occ, axis=(0, 1)), jnp.arange(dw * 32), -1))
+        jnp.any(occ, axis=(0, 1)), jnp.arange(occ.shape[-1]), -1))
         .astype(jnp.float32) + 1.0)
-    return occ_words, ztop
+    # supervoxel occupancy: OR over 8x8x8 blocks (pad dims up to COARSE)
+    C = COARSE
+    hp, wp, dp = (-(-s // C) * C for s in (h, w, d))
+    occ_p = jnp.zeros((hp, wp, dp), bool).at[:h, :w, :d].set(occ)
+    occ_c = jnp.any(
+        occ_p.reshape(hp // C, C, wp // C, C, dp // C, C),
+        axis=(1, 3, 5))
+    return occ_words, ztop, _bitpack(occ_c)
 
 
 def ray_voxel_intersection(
@@ -123,7 +140,7 @@ def ray_voxel_intersection(
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
-    Two accelerations over the naive march:
+    Three accelerations over the naive march:
 
     - (exact) the march tests a BIT-PACKED occupancy volume ([h, w, d/32]
       uint32, ~32x smaller than the id volume) so the per-step random
@@ -138,15 +155,24 @@ def ray_voxel_intersection(
       unskipped DDA up to that rounding (a corner-grazing ray can land one
       cell over).  Every voxel skipped is empty by construction of ztop,
       so no hit is ever missed.
+    - hierarchical (two-phase) march: rays first DDA an 8^3-supervoxel
+      occupancy (a ~16 KB table) and only march fine cells from the entry
+      of the first occupied supervoxel — every fine cell skipped lies in
+      an all-empty supervoxel, so no hit is ever missed; the fine start
+      backs off 1e-3 cells so the block's first cell is entered (same
+      float-rounding tolerance as the sky skip).
     """
     h, w, d = volume.shape
     H, W = img_dims
     vol_flat = volume.reshape(-1)
     if occupancy is None:
         occupancy = pack_occupancy(volume)
-    occ_words, ztop = occupancy
+    occ_words, ztop, coarse_words = occupancy
     dw = occ_words.shape[-1]
     occ_flat = occ_words.reshape(-1)
+    hc, wc, dwc = coarse_words.shape
+    dc = -(-d // COARSE)
+    occ_c_flat = coarse_words.reshape(-1)
 
     # Camera basis (ray_voxel_intersection.cu host code builds fwd/side/up
     # from viewdir and world-up by Gram-Schmidt; mirrored here)
@@ -184,17 +210,6 @@ def ray_voxel_intersection(
     t_skip = jnp.maximum(t_skip, 0.0)
     miss0 = above & (rd[2] >= 0)
     ro = [ro[i] + t_skip * rd[i] for i in range(3)]
-    ai = [jnp.floor(ro[i]).astype(jnp.int32) for i in range(3)]
-    dims_l = [h, w, d]
-    strides_l = [w * d, d, 1]
-
-    def init_t(i):
-        return jnp.where(
-            rd[i] > 0, (ai[i].astype(jnp.float32) + 1.0 - ro[i]) / rd[i],
-            jnp.where(rd[i] < 0,
-                      (ai[i].astype(jnp.float32) - ro[i]) / rd[i], jnp.inf))
-
-    at = [init_t(i) for i in range(3)]
 
     if max_steps is None:
         max_steps = h + w + d + 3
@@ -217,85 +232,138 @@ def ray_voxel_intersection(
 
     xs = (
         bandify(miss0, True),  # padding rays are born done
-        tuple(bandify(ai[i], 0) for i in range(3)),
-        tuple(bandify(at[i], jnp.inf) for i in range(3)),
         tuple(bandify(ro[i], 0.0) for i in range(3)),
         tuple(bandify(rd[i], 1.0) for i in range(3)),
     )
 
+    def make_dda(occ_words_flat, words_dw, dims, steps):
+        """Band DDA over a bit-packed occupancy grid: (ro SoA, rd SoA,
+        done0) -> (hit_lin [Rb], entry-time hit_t [Rb]).  Cells are tested
+        only after the first crossing (reference DDA semantics)."""
+        d0, d1, d2 = dims
+
+        def march(ro_b, rd_b, done0):
+            ai_b = [jnp.floor(ro_b[i]).astype(jnp.int32) for i in range(3)]
+            pos_b = [rd_b[i] > 0 for i in range(3)]
+
+            def init_t(i):
+                return jnp.where(
+                    rd_b[i] > 0,
+                    (ai_b[i].astype(jnp.float32) + 1.0 - ro_b[i]) / rd_b[i],
+                    jnp.where(
+                        rd_b[i] < 0,
+                        (ai_b[i].astype(jnp.float32) - ro_b[i]) / rd_b[i],
+                        jnp.inf))
+
+            at_b = [init_t(i) for i in range(3)]
+
+            def cond(state):
+                i, done = state[0], state[1]
+                return (i < steps) & jnp.logical_not(jnp.all(done))
+
+            def body(state):
+                (i, done, ax0i, ax1i, ax2i, at0, at1, at2,
+                 hit_lin, hit_t) = state
+                aint = [ax0i, ax1i, ax2i]
+                at_ = [at0, at1, at2]
+                # smallest-t axis, tie-break x<y<z
+                # (ray_voxel_intersection.cu:127-176)
+                t01 = at_[0] <= at_[1]
+                t02 = at_[0] <= at_[2]
+                t12 = at_[1] <= at_[2]
+                sel0 = t01 & t02
+                sel1 = jnp.logical_not(sel0) & t12
+                sel2 = jnp.logical_not(sel0) & jnp.logical_not(t12)
+                tnow = jnp.where(sel0, at_[0],
+                                 jnp.where(sel1, at_[1], at_[2]))
+
+                new_aint = []
+                new_at = []
+                quit_now = jnp.zeros_like(done)
+                for i_ax, sel in enumerate((sel0, sel1, sel2)):
+                    step = jnp.where(pos_b[i_ax], 1, -1)
+                    cur = aint[i_ax] + jnp.where(sel, step, 0)
+                    out_hi = pos_b[i_ax] & (cur >= dims[i_ax])
+                    out_lo = jnp.logical_not(pos_b[i_ax]) & (cur < 0)
+                    quit_now = quit_now | (sel & (out_hi | out_lo))
+                    nt = jnp.where(
+                        pos_b[i_ax],
+                        (cur.astype(jnp.float32) + 1.0 - ro_b[i_ax])
+                        / rd_b[i_ax],
+                        (cur.astype(jnp.float32) - ro_b[i_ax])
+                        / rd_b[i_ax])
+                    new_aint.append(jnp.where(sel, cur, aint[i_ax]))
+                    new_at.append(jnp.where(sel, nt, at_[i_ax]))
+
+                inside = (
+                    (new_aint[0] >= 0) & (new_aint[0] < d0)
+                    & (new_aint[1] >= 0) & (new_aint[1] < d1)
+                    & (new_aint[2] >= 0) & (new_aint[2] < d2))
+                # occupancy test against the bit-packed words; the id
+                # volume is only touched after the loops, at the hit voxel
+                lin_w = (new_aint[0] * (d1 * words_dw)
+                         + new_aint[1] * words_dw + (new_aint[2] >> 5))
+                lin_w = jnp.clip(lin_w, 0, d0 * d1 * words_dw - 1)
+                word = jnp.where(inside, occ_words_flat[lin_w],
+                                 jnp.uint32(0))
+                bit = (word >> (new_aint[2] & 31).astype(jnp.uint32)) & 1
+                newly_hit = jnp.logical_not(done) & (bit != 0)
+                lin = (new_aint[0] * d1 * d2 + new_aint[1] * d2
+                       + new_aint[2])
+                hit_lin = jnp.where(newly_hit, lin, hit_lin)
+                hit_t = jnp.where(newly_hit, tnow, hit_t)
+                live = jnp.logical_not(done)
+                done = done | newly_hit | (live & quit_now)
+                keep = done
+                outs = [jnp.where(keep, aint[k], new_aint[k])
+                        for k in range(3)]
+                outt = [jnp.where(keep, at_[k], new_at[k])
+                        for k in range(3)]
+                return (state[0] + 1, done, outs[0], outs[1], outs[2],
+                        outt[0], outt[1], outt[2], hit_lin, hit_t)
+
+            state0 = (
+                jnp.int32(0),
+                done0,
+                ai_b[0], ai_b[1], ai_b[2],
+                at_b[0], at_b[1], at_b[2],
+                jnp.full((Rb,), -1, dtype=jnp.int32),
+                jnp.full((Rb,), jnp.inf, dtype=jnp.float32),
+            )
+            out = jax.lax.while_loop(cond, body, state0)
+            return out[8], out[9]
+
+        return march
+
+    coarse_march = make_dda(occ_c_flat, dwc, (hc, wc, dc),
+                            hc + wc + dc + 3)
+    fine_march = make_dda(occ_flat, dw, (h, w, d), max_steps)
+    Cf = float(COARSE)
+
     def run_band(carry, bx):
-        done0, ai_b, at_b, ro_b, rd_b = bx
-        pos_b = [rd_b[i] > 0 for i in range(3)]
-
-        def cond(state):
-            i, done = state[0], state[1]
-            return (i < max_steps) & jnp.logical_not(jnp.all(done))
-
-        def body(state):
-            (i, done, ax0i, ax1i, ax2i, at0, at1, at2,
-             hit_lin, hit_t) = state
-            aint = [ax0i, ax1i, ax2i]
-            at_ = [at0, at1, at2]
-            # smallest-t axis, tie-break x<y<z
-            # (ray_voxel_intersection.cu:127-176)
-            t01 = at_[0] <= at_[1]
-            t02 = at_[0] <= at_[2]
-            t12 = at_[1] <= at_[2]
-            sel0 = t01 & t02
-            sel1 = jnp.logical_not(sel0) & t12
-            sel2 = jnp.logical_not(sel0) & jnp.logical_not(t12)
-            tnow = jnp.where(sel0, at_[0], jnp.where(sel1, at_[1], at_[2]))
-
-            new_aint = []
-            new_at = []
-            quit_now = jnp.zeros_like(done)
-            for i_ax, sel in enumerate((sel0, sel1, sel2)):
-                step = jnp.where(pos_b[i_ax], 1, -1)
-                cur = aint[i_ax] + jnp.where(sel, step, 0)
-                out_hi = pos_b[i_ax] & (cur >= dims_l[i_ax])
-                out_lo = jnp.logical_not(pos_b[i_ax]) & (cur < 0)
-                quit_now = quit_now | (sel & (out_hi | out_lo))
-                nt = jnp.where(
-                    pos_b[i_ax],
-                    (cur.astype(jnp.float32) + 1.0 - ro_b[i_ax]) / rd_b[i_ax],
-                    (cur.astype(jnp.float32) - ro_b[i_ax]) / rd_b[i_ax])
-                new_aint.append(jnp.where(sel, cur, aint[i_ax]))
-                new_at.append(jnp.where(sel, nt, at_[i_ax]))
-
-            inside = (
-                (new_aint[0] >= 0) & (new_aint[0] < h)
-                & (new_aint[1] >= 0) & (new_aint[1] < w)
-                & (new_aint[2] >= 0) & (new_aint[2] < d))
-            # occupancy test against the bit-packed words; the id volume
-            # is only touched after the loop, at each ray's hit voxel
-            lin_w = (new_aint[0] * (w * dw) + new_aint[1] * dw
-                     + (new_aint[2] >> 5))
-            lin_w = jnp.clip(lin_w, 0, h * w * dw - 1)
-            word = jnp.where(inside, occ_flat[lin_w], jnp.uint32(0))
-            bit = (word >> (new_aint[2] & 31).astype(jnp.uint32)) & 1
-            newly_hit = jnp.logical_not(done) & (bit != 0)
-            lin = (new_aint[0] * strides_l[0] + new_aint[1] * strides_l[1]
-                   + new_aint[2])
-            hit_lin = jnp.where(newly_hit, lin, hit_lin)
-            hit_t = jnp.where(newly_hit, tnow, hit_t)
-            live = jnp.logical_not(done)
-            done = done | newly_hit | (live & quit_now)
-            keep = done
-            outs = [jnp.where(keep, aint[k], new_aint[k]) for k in range(3)]
-            outt = [jnp.where(keep, at_[k], new_at[k]) for k in range(3)]
-            return (state[0] + 1, done, outs[0], outs[1], outs[2],
-                    outt[0], outt[1], outt[2], hit_lin, hit_t)
-
-        state0 = (
-            jnp.int32(0),
-            done0,
-            ai_b[0], ai_b[1], ai_b[2],
-            at_b[0], at_b[1], at_b[2],
-            jnp.full((Rb,), -1, dtype=jnp.int32),
-            jnp.full((Rb,), jnp.inf, dtype=jnp.float32),
-        )
-        out = jax.lax.while_loop(cond, body, state0)
-        return carry, (out[8], out[9])
+        done0, ro_b, rd_b = bx
+        # phase 1: supervoxel march (coarse units: t_c = t / COARSE)
+        roc = [ro_b[i] / Cf for i in range(3)]
+        chit_lin, tc = coarse_march(roc, rd_b, done0)
+        # the DDA never tests the STARTING cell — if the ray begins
+        # inside an occupied supervoxel, fine-march from t = 0
+        c0 = [jnp.clip(jnp.floor(roc[i]).astype(jnp.int32), 0,
+                       (hc, wc, dc)[i] - 1) for i in range(3)]
+        in0 = ((roc[0] >= 0) & (roc[0] < hc) & (roc[1] >= 0)
+               & (roc[1] < wc) & (roc[2] >= 0) & (roc[2] < dc))
+        w0 = occ_c_flat[jnp.clip(
+            c0[0] * (wc * dwc) + c0[1] * dwc + (c0[2] >> 5),
+            0, hc * wc * dwc - 1)]
+        occ0 = in0 & (((w0 >> (c0[2] & 31).astype(jnp.uint32)) & 1) != 0)
+        miss_c = jnp.logical_not(occ0) & (chit_lin < 0)
+        t_enter = jnp.where(occ0, 0.0, tc * Cf)
+        # back off so the block's first fine cell is ENTERED (the fine
+        # march only samples after a crossing)
+        t_start = jnp.maximum(t_enter - 1e-3, 0.0)
+        ro2 = [ro_b[i] + t_start * rd_b[i] for i in range(3)]
+        hit_lin, tf = fine_march(ro2, rd_b, done0 | miss_c)
+        hit_t = jnp.where(hit_lin >= 0, t_start + tf, jnp.inf)
+        return carry, (hit_lin, hit_t)
 
     _, (hit_lin_b, hit_t_b) = jax.lax.scan(run_band, 0, xs)
     hit_lin = hit_lin_b.reshape(-1)[:R]
