@@ -173,8 +173,12 @@ class RasterizerConfig(_Base):
     # (the reference duplicates uncapped, rasterizer_impl.cu:64-99) while
     # the pair sort stays ~the true pair count.  tile_cap 0 = full grid.
     # () disables tiering (uniform max_tiles_per_gaussian cap).
+    # Default caps dominate the historical uniform cap of 32 at every
+    # rank (the 16384 largest rects get >= 32 tiles; larger ranks fall to
+    # max_tiles_per_gaussian = 32), so defaults never drop MORE pairs
+    # than a uniform-32 cap while whales keep the full grid.
     bin_tiers: Tuple[Tuple[int, int], ...] = (
-        (16384, 16), (4096, 48), (1024, 96), (128, 0))
+        (16384, 32), (4096, 64), (1024, 128), (128, 0))
     # Static per-tile capacity: max Gaussians blended per tile, nearest-first
     # (the reference's per-tile ranges are dynamic; rasterizer_impl.cu:101-124).
     tile_capacity: int = 1024
