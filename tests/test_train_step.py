@@ -224,3 +224,78 @@ class TestOverflowSurfacing:
         assert float(metrics["RasterTruncated"]) == 0.0
         assert float(metrics["RasterDroppedPairs"]) == 0.0
         assert float(metrics["PTv3PoolOverflow"]) == 0.0
+
+
+class TestCarRecipe:
+    def test_car_recipe_step_runs(self):
+        """CAR recipe (KITTI-360: car instance range, sin/cos + z + PTv3)
+        — one fused GAN step must run and stay finite (reference:
+        README.md CAR recipe)."""
+        from gaussiancity_tpu.config import car_recipe, PTv3Config
+
+        cfg = car_recipe()
+        # shrink to CPU-test sizes, keep the recipe's structure
+        cfg = cfg.replace(
+            dataset=cfg.dataset.replace(
+                sensor_size=(256, 64), train_crop_size=(128, 32),
+                proj_size=32,
+                cam_k=(100.0, 0, 128.0, 0, 100.0, 32.0, 0, 0, 1),
+                flip_ud=False),
+            network=cfg.network.replace(
+                z_dim=8, mlp_hidden_dim=16, dis_n_channel_base=8,
+                sin_cos_freq_bends=2,
+                ptv3=PTv3Config(
+                    enabled=True, stride=(2,), enc_depths=(1, 1),
+                    enc_channels=(8, 16), enc_n_head=(1, 2),
+                    enc_patch_size=(16, 16), dec_depths=(1,),
+                    dec_channels=(8,), dec_n_head=(1,),
+                    dec_patch_size=(16,))),
+            rasterizer=cfg.rasterizer.replace(
+                tile_capacity=128, max_tiles_per_gaussian=16,
+                backend="xla"),
+            train=cfg.train.replace(
+                perceptual_loss_layers=("relu_1_1",),
+                perceptual_loss_weights=(1.0,)),
+        )
+        trainer = Trainer(cfg)
+        batch = synthetic_batch(jax.random.PRNGKey(0), cfg)
+        # CAR instance ids (KITTI car range starts at 10000)
+        pts = batch["pts"]
+        car_ins = jax.random.randint(
+            jax.random.PRNGKey(1), (1, pts.shape[1], 1), 10000, 10050
+        ).astype(jnp.float32)
+        batch["pts"] = jnp.concatenate(
+            [pts[..., :4], car_ins, pts[..., 5:]], axis=-1)
+        state = trainer.init_state(jax.random.PRNGKey(2), batch)
+        state, metrics = make_train_step(trainer)(
+            state, batch, jax.random.PRNGKey(3))
+        assert int(state.step) == 1
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"non-finite {k}"
+
+
+class TestThreeModelMasks:
+    def test_host_class_split_with_car(self):
+        """REST/BLDG/CAR partition must be exhaustive and disjoint
+        (reference: scripts/inference.py:429-453)."""
+        from gaussiancity_tpu.config import kitti_360_dataset
+        from gaussiancity_tpu.inference.pipeline import InferencePipeline
+
+        cfg = tiny_config()
+        cfg = cfg.replace(dataset=kitti_360_dataset().replace(
+            sensor_size=(128, 64), proj_size=32,
+            cam_k=(60.0, 0, 64.0, 0, 60.0, 32.0, 0, 0, 1)))
+        pipe = InferencePipeline.__new__(InferencePipeline)
+        pipe.ds = cfg.dataset
+        pipe.models = {"REST": None, "BLDG": None, "CAR": None}
+        n = 64
+        pts9 = np.zeros((n, 9), np.float32)
+        rng = np.random.default_rng(0)
+        pts9[:, 4] = rng.choice([1, 5, 100, 101, 10005, 12000], n)
+        masks = pipe.host_class_split(pts9)
+        total = (masks["REST"].astype(int) + masks["BLDG"].astype(int)
+                 + masks["CAR"].astype(int))
+        np.testing.assert_array_equal(total, 1)  # exhaustive + disjoint
+        assert masks["CAR"][pts9[:, 4] >= 10000].all()
+        assert masks["BLDG"][(pts9[:, 4] >= 100)
+                             & (pts9[:, 4] < 10000)].all()
