@@ -238,8 +238,11 @@ def ray_voxel_intersection(
 
     def make_dda(occ_words_flat, words_dw, dims, steps):
         """Band DDA over a bit-packed occupancy grid: (ro SoA, rd SoA,
-        done0) -> (hit_lin [Rb], entry-time hit_t [Rb]).  Cells are tested
-        only after the first crossing (reference DDA semantics)."""
+        done0) -> (hit_lin, entry-time hit_t, t_prog, exited) [Rb each].
+        Cells are tested only after the first crossing (reference DDA
+        semantics).  ``t_prog`` is how far a still-live ray advanced when
+        the step bound hit (for resumable bounded marches); ``exited``
+        marks rays that left the grid without a hit."""
         d0, d1, d2 = dims
 
         def march(ro_b, rd_b, done0):
@@ -263,7 +266,7 @@ def ray_voxel_intersection(
 
             def body(state):
                 (i, done, ax0i, ax1i, ax2i, at0, at1, at2,
-                 hit_lin, hit_t) = state
+                 hit_lin, hit_t, t_prog, exited) = state
                 aint = [ax0i, ax1i, ax2i]
                 at_ = [at0, at1, at2]
                 # smallest-t axis, tie-break x<y<z
@@ -313,6 +316,8 @@ def ray_voxel_intersection(
                 hit_lin = jnp.where(newly_hit, lin, hit_lin)
                 hit_t = jnp.where(newly_hit, tnow, hit_t)
                 live = jnp.logical_not(done)
+                t_prog = jnp.where(live, tnow, t_prog)
+                exited = exited | (live & quit_now)
                 done = done | newly_hit | (live & quit_now)
                 keep = done
                 outs = [jnp.where(keep, aint[k], new_aint[k])
@@ -320,7 +325,8 @@ def ray_voxel_intersection(
                 outt = [jnp.where(keep, at_[k], new_at[k])
                         for k in range(3)]
                 return (state[0] + 1, done, outs[0], outs[1], outs[2],
-                        outt[0], outt[1], outt[2], hit_lin, hit_t)
+                        outt[0], outt[1], outt[2], hit_lin, hit_t,
+                        t_prog, exited)
 
             state0 = (
                 jnp.int32(0),
@@ -329,41 +335,71 @@ def ray_voxel_intersection(
                 at_b[0], at_b[1], at_b[2],
                 jnp.full((Rb,), -1, dtype=jnp.int32),
                 jnp.full((Rb,), jnp.inf, dtype=jnp.float32),
+                jnp.zeros((Rb,), jnp.float32),
+                jnp.zeros((Rb,), bool),
             )
             out = jax.lax.while_loop(cond, body, state0)
-            return out[8], out[9]
+            return out[8], out[9], out[10], out[11]
 
         return march
 
     coarse_march = make_dda(occ_c_flat, dwc, (hc, wc, dc),
                             hc + wc + dc + 3)
-    fine_march = make_dda(occ_flat, dw, (h, w, d), max_steps)
+    # bounded fine phase: ~a supervoxel diagonal plus slack, so a grazing
+    # ray that clips a block without hitting RETURNS TO COARSE marching
+    # instead of fine-stepping the rest of the volume
+    FINE_STEPS = 8 * COARSE
+    fine_march = make_dda(occ_flat, dw, (h, w, d), FINE_STEPS)
     Cf = float(COARSE)
+    n_rounds = -(-max_steps // FINE_STEPS) + 2
 
     def run_band(carry, bx):
         done0, ro_b, rd_b = bx
-        # phase 1: supervoxel march (coarse units: t_c = t / COARSE)
-        roc = [ro_b[i] / Cf for i in range(3)]
-        chit_lin, tc = coarse_march(roc, rd_b, done0)
-        # the DDA never tests the STARTING cell — if the ray begins
-        # inside an occupied supervoxel, fine-march from t = 0
-        c0 = [jnp.clip(jnp.floor(roc[i]).astype(jnp.int32), 0,
-                       (hc, wc, dc)[i] - 1) for i in range(3)]
-        in0 = ((roc[0] >= 0) & (roc[0] < hc) & (roc[1] >= 0)
-               & (roc[1] < wc) & (roc[2] >= 0) & (roc[2] < dc))
-        w0 = occ_c_flat[jnp.clip(
-            c0[0] * (wc * dwc) + c0[1] * dwc + (c0[2] >> 5),
-            0, hc * wc * dwc - 1)]
-        occ0 = in0 & (((w0 >> (c0[2] & 31).astype(jnp.uint32)) & 1) != 0)
-        miss_c = jnp.logical_not(occ0) & (chit_lin < 0)
-        t_enter = jnp.where(occ0, 0.0, tc * Cf)
-        # back off so the block's first fine cell is ENTERED (the fine
-        # march only samples after a crossing)
-        t_start = jnp.maximum(t_enter - 1e-3, 0.0)
-        ro2 = [ro_b[i] + t_start * rd_b[i] for i in range(3)]
-        hit_lin, tf = fine_march(ro2, rd_b, done0 | miss_c)
-        hit_t = jnp.where(hit_lin >= 0, t_start + tf, jnp.inf)
-        return carry, (hit_lin, hit_t)
+
+        def round_body(state):
+            r, t_cur, done, hit_lin, hit_t = state
+            pos = [ro_b[i] + t_cur * rd_b[i] for i in range(3)]
+            # coarse phase (coarse units: t_c = t / COARSE)
+            roc = [pos[i] / Cf for i in range(3)]
+            chit, tc, _, c_exit = coarse_march(roc, rd_b, done)
+            # the DDA never tests the STARTING cell — if the ray begins
+            # inside an occupied supervoxel, fine-march from here
+            c0 = [jnp.clip(jnp.floor(roc[i]).astype(jnp.int32), 0,
+                           (hc, wc, dc)[i] - 1) for i in range(3)]
+            in0 = ((roc[0] >= 0) & (roc[0] < hc) & (roc[1] >= 0)
+                   & (roc[1] < wc) & (roc[2] >= 0) & (roc[2] < dc))
+            w0 = occ_c_flat[jnp.clip(
+                c0[0] * (wc * dwc) + c0[1] * dwc + (c0[2] >> 5),
+                0, hc * wc * dwc - 1)]
+            occ0 = in0 & (
+                ((w0 >> (c0[2] & 31).astype(jnp.uint32)) & 1) != 0)
+            miss_c = jnp.logical_not(done) & jnp.logical_not(occ0) & (
+                (chit < 0) | c_exit)
+            done = done | miss_c
+            t_enter = t_cur + jnp.where(occ0, 0.0, tc * Cf)
+            # back off so the block's first fine cell is ENTERED (the
+            # fine march only samples after a crossing)
+            t_start = jnp.maximum(t_enter - 1e-3, 0.0)
+            ro2 = [ro_b[i] + t_start * rd_b[i] for i in range(3)]
+            flin, tf, t_prog, f_exit = fine_march(ro2, rd_b, done)
+            newly_hit = jnp.logical_not(done) & (flin >= 0)
+            hit_lin = jnp.where(newly_hit, flin, hit_lin)
+            hit_t = jnp.where(newly_hit, t_start + tf, hit_t)
+            done = done | newly_hit | f_exit
+            # resume just inside the last TESTED fine cell
+            t_next = t_start + t_prog + 1e-3
+            return (r + 1, jnp.maximum(t_next, t_cur), done,
+                    hit_lin, hit_t)
+
+        def round_cond(state):
+            r, _, done = state[0], state[1], state[2]
+            return (r < n_rounds) & jnp.logical_not(jnp.all(done))
+
+        out = jax.lax.while_loop(round_cond, round_body, (
+            jnp.int32(0), jnp.zeros((Rb,), jnp.float32), done0,
+            jnp.full((Rb,), -1, jnp.int32),
+            jnp.full((Rb,), jnp.inf, jnp.float32)))
+        return carry, (out[3], out[4])
 
     _, (hit_lin_b, hit_t_b) = jax.lax.scan(run_band, 0, xs)
     hit_lin = hit_lin_b.reshape(-1)[:R]
