@@ -136,7 +136,7 @@ def ray_voxel_intersection(
     img_dims: Tuple[int, int],  # (H, W)
     max_steps: int | None = None,
     occupancy=None,  # optional prebuilt pack_occupancy(volume)
-    n_bands: int = 8,  # independent row-band loops (see below)
+    n_bands: int = 16,  # independent row-band loops (see below)
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
