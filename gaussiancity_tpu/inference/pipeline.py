@@ -420,8 +420,10 @@ class InferencePipeline:
     def get_frame_fn_compact(self):
         """Per-class frame fn: takes {name: (pts9 slab [S_c, 9], count)}
         host-compacted buckets; each generator runs only on its own
-        class's slab, and results are zero-padded on-device to the static
-        per-class budget before rasterization."""
+        class's slab, and the rasterizer binds/sorts only the
+        CONCATENATED SLABS (~the visible count) rather than the full
+        sum-of-budgets padding.  Slab sizes are sticky (grow-only), so
+        the per-size jit programs are reused across frames."""
         if self._class_frame_fns is None:
             import functools
 
@@ -431,18 +433,9 @@ class InferencePipeline:
                 for name in self.models
             }
             self._raster_fn = jax.jit(self.raster_frame)
-            self._pad_fn = jax.jit(
-                lambda g, n, b: (
-                    jnp.zeros((b, g.shape[1]), g.dtype).at[:g.shape[0]].set(
-                        jnp.where((jnp.arange(g.shape[0]) < n)[:, None],
-                                  g, 0.0)),
-                    jnp.arange(b) < n),
-                static_argnums=2)
         attrs_fns = self._class_frame_fns
         raster_fn = self._raster_fn
-        pad_fn = self._pad_fn
         params_map = {name: p for name, (_, p) in self.models.items()}
-        budgets = self.class_budgets or {}
 
         def frame(buckets, proj_hf, proj_seg, proj_tlp, style_lut,
                   cam_pos, cam_quat, road_mask):
@@ -454,13 +447,10 @@ class InferencePipeline:
                 # the traced program and recompile every frame
                 n_c = jnp.asarray(n_c, jnp.int32)
                 mask_c = jnp.arange(slab) < n_c
-                gs_c = attrs_fns[name](
+                gs_parts.append(attrs_fns[name](
                     params_map[name], pts9_c, mask_c, proj_hf, proj_seg,
-                    proj_tlp, style_lut)
-                budget = budgets.get(name, self.max_points)
-                gs_pad, mask_pad = pad_fn(gs_c, n_c, budget)
-                gs_parts.append(gs_pad)
-                mask_parts.append(mask_pad)
+                    proj_tlp, style_lut))
+                mask_parts.append(mask_c)
             gs = jnp.concatenate(gs_parts, axis=0)
             mask = jnp.concatenate(mask_parts, axis=0)
             return raster_fn(gs, mask, cam_pos, cam_quat, road_mask)
