@@ -160,7 +160,16 @@ def run_inference(args) -> int:
     logging.info("rendering city: %s", city_dir)
     projections, centers = get_city_projections(city_dir)
 
-    pipeline = InferencePipeline(cfg, models, max_points=args.max_points)
+    # With several generators, use the compacted per-class path: each
+    # model sees only its own class's points — the reference splits
+    # classes ragged (scripts/inference.py:455-507), and a set-based
+    # model (BLDG's PTv3) must not attend over foreign classes.  The
+    # per-class budget is the full point cap; compute follows the actual
+    # visible counts (sticky slabs).
+    budgets = ({name: args.max_points for name in models}
+               if len(models) > 1 else None)
+    pipeline = InferencePipeline(cfg, models, max_points=args.max_points,
+                                 class_budgets=budgets)
     # Orbit around the loaded city map's actual center.  The reference
     # hardcodes PROJ_SIZE // 2 (scripts/inference.py:174-176) because its
     # cities are exactly proj_size wide; centering on the real map keeps
