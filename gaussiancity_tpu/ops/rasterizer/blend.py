@@ -396,7 +396,9 @@ def _grad_trunc_count(counts_f, n_contrib, grad_capacity, grad_budget, K,
     if grad_budget > 0:
         kh = jnp.minimum(k_hi, kb)
         total = jnp.sum(-(-kh // page) * page)
-        trunc = trunc + jnp.maximum(total - grad_budget, 0)
+        # the scatter enumerates floor(budget / page) whole pages
+        budget_eff = (grad_budget // page) * page
+        trunc = trunc + jnp.maximum(total - budget_eff, 0)
     return trunc.astype(jnp.int32)
 
 

@@ -170,3 +170,7 @@ class TestGradCapacity:
         cfg_b = CFG_PALLAS.replace(grad_budget=16)
         out = rasterize(*scene, cam, cfg_b)
         assert int(out.n_grad_truncated) > 0
+        # a budget that is not a page multiple only enumerates whole
+        # pages: floor(24/16)*16 == 16, so the counters must agree
+        out24 = rasterize(*scene, cam, CFG_PALLAS.replace(grad_budget=24))
+        assert int(out24.n_grad_truncated) == int(out.n_grad_truncated)
