@@ -218,6 +218,37 @@ def bench_inference_frame(jax, jnp):
     return (time.time() - t0) / n_iter
 
 
+def bench_raster_2m(jax, jnp):
+    """Scale check (BASELINE configs 4-5 are 'multi-million Gaussians'):
+    forward render of 2,097,152 Gaussians at the full 960x540 sensor on
+    ONE chip.  Returns ms/frame (pipelined)."""
+    from gaussiancity_tpu.camera import CameraModel
+    from gaussiancity_tpu.config import RasterizerConfig
+    from gaussiancity_tpu.ops.rasterizer import rasterize
+
+    W, H = 960, 540
+    f = 800.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    cam = CameraModel(K, (W, H)).params(
+        np.zeros(3), np.array([0, 0, 0, 1.0]))
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = RasterizerConfig(
+        tile_capacity=4096, max_tiles_per_gaussian=2,
+        bin_tiers=((65536, 8), (16384, 24), (4096, 64), (256, 0)),
+        backend=backend)
+    n = 2 * 1024 * 1024
+    scene = tuple(map(jnp.asarray, build_scene(n=n, seed=1)))
+    fn = jax.jit(lambda *s: rasterize(*s, cam, cfg))
+    out = jax.block_until_ready(fn(*scene))
+    diag = {"raster_2m_dropped": int(out.n_dropped_pairs),
+            "raster_2m_truncated": int(out.n_truncated)}
+    import time as _t
+    t0 = _t.time()
+    outs = [fn(*scene).image for _ in range(5)]
+    jax.block_until_ready(outs)
+    return (_t.time() - t0) / 5 * 1e3, diag
+
+
 def bench_stage_breakdown(jax, jnp):
     """Per-stage device times of the headline scene (VERDICT r2 item 10)
     via the chained-fori methodology (scripts/_bench_util.chain_time) —
@@ -450,6 +481,12 @@ def main():
             extra.update(bench_stage_breakdown(jax, jnp))
         except Exception as e:
             extra["stage_breakdown_error"] = repr(e)[:200]
+        try:
+            ms, d2m = bench_raster_2m(jax, jnp)
+            extra["raster_2m_fwd_960x540_ms"] = round(ms, 1)
+            extra.update(d2m)
+        except Exception as e:
+            extra["raster_2m_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "rays_per_s_fwd_bwd_640x448",

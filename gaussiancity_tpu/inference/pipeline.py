@@ -568,10 +568,15 @@ def _gaussian_blur3(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
 
 def write_video(path: str, frames: List[np.ndarray], fps: int = 4) -> None:
     """mp4 writer (reference: scripts/inference.py:601-611)."""
+    import os
+
     import cv2
 
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     h, w = frames[0].shape[:2]
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert vw.isOpened(), f"cv2.VideoWriter could not open {path}"
     for f in frames:
         vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     vw.release()

@@ -756,7 +756,7 @@ class PointTransformerV3(nn.Module):
             out_axes=0,
             variable_axes={"params": None, "batch_stats": None,
                            "intermediates": 0},
-            split_rngs={"params": False, "droppath": True},
+            split_rngs={"params": False, "droppath": True, "shuffle": True},
             axis_name="ptv3_batch",
         )(cfg=self.cfg, in_channels=self.in_channels,
           grid_size=self.grid_size, serial_depth=self.serial_depth,

@@ -357,3 +357,18 @@ class TestRPEAndShuffle:
         # some seed must produce a different block->order assignment
         assert any(not np.allclose(o, np.asarray(out_a), atol=1e-6)
                    for o in outs)
+
+    def test_shuffle_rng_through_batched_wrapper(self):
+        # the nn.vmap lift must split the "shuffle" stream per sample
+        cfg = tiny_ptv3_cfg().replace(order=("cord", "z"),
+                                      shuffle_orders=True)
+        f1, c1, v1 = make_points(jax.random.PRNGKey(3))
+        feat = jnp.stack([f1, f1])
+        coord = jnp.stack([c1, c1])
+        valid = jnp.stack([v1, v1])
+        model = PointTransformerV3(cfg=cfg, in_channels=12)
+        params = model.init(jax.random.PRNGKey(1), feat, coord, valid)
+        out = model.apply(params, feat, coord, valid,
+                          rngs={"shuffle": jax.random.PRNGKey(4)})
+        assert out.shape[0] == 2
+        assert np.all(np.isfinite(np.asarray(out)))
