@@ -233,11 +233,23 @@ def bench_raster_2m(jax, jnp):
         np.zeros(3), np.array([0, 0, 0, 1.0]))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = RasterizerConfig(
-        tile_capacity=4096, max_tiles_per_gaussian=2,
-        bin_tiers=((65536, 8), (16384, 24), (4096, 64), (256, 0)),
+        tile_capacity=6144, max_tiles_per_gaussian=8,
+        bin_tiers=((65536, 32), (8192, 96), (1024, 0)),
         backend=backend)
+    # a city-scale cloud: most of the 2M Gaussians lie outside the
+    # frustum (as in a real city frame), visible density stays physical
     n = 2 * 1024 * 1024
-    scene = tuple(map(jnp.asarray, build_scene(n=n, seed=1)))
+    rng = np.random.default_rng(1)
+    depth = rng.uniform(30, 500, n).astype(np.float32)
+    means = np.stack(
+        [depth,
+         rng.uniform(-2.0, 2.0, n) * depth,
+         rng.uniform(-0.9, 0.9, n) * depth], 1).astype(np.float32)
+    scene = (jnp.asarray(means),
+             jnp.asarray(rng.uniform(0.2, 0.9, n).astype(np.float32)),
+             jnp.asarray(rng.uniform(0.05, 0.35, (n, 3)).astype(np.float32)),
+             jnp.asarray(np.tile([1, 0, 0, 0], (n, 1)).astype(np.float32)),
+             jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)))
     fn = jax.jit(lambda *s: rasterize(*s, cam, cfg))
     out = jax.block_until_ready(fn(*scene))
     diag = {"raster_2m_dropped": int(out.n_dropped_pairs),
