@@ -233,8 +233,8 @@ def bench_raster_2m(jax, jnp):
         np.zeros(3), np.array([0, 0, 0, 1.0]))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = RasterizerConfig(
-        tile_capacity=6144, max_tiles_per_gaussian=8,
-        bin_tiers=((65536, 32), (8192, 96), (1024, 0)),
+        tile_capacity=6144, max_tiles_per_gaussian=2,
+        bin_tiers=((262144, 8), (32768, 48), (2048, 0)),
         backend=backend)
     # a city-scale cloud: most of the 2M Gaussians lie outside the
     # frustum (as in a real city frame), visible density stays physical
