@@ -339,7 +339,8 @@ def bench_stage_breakdown(jax, jnp):
             consts, n_tx, a[0] + eps, counts, a[1] + eps, bgg, a[2],
             n_contrib)), (attrs_paged, g_out.transpose(0, 3, 1, 2),
                           final_T), repeats=2)
-    return {k: round(v, 3) for k, v in out.items()}
+    # sub-0.2 ms stages sit inside chain_time's noise floor
+    return {k: round(max(v, 0.0), 3) for k, v in out.items()}
 
 
 def bench_frame_e2e(jax, jnp):
