@@ -979,3 +979,90 @@ class TestPTv3MLPDropPathParity:
         xn = t2n(x)
         kept = np.abs(out).sum(-1) > 0
         np.testing.assert_allclose(out[kept], xn[kept] / 0.7, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Full Generator (composite wiring: encoder -> grid-sample -> sin/cos ->
+# attr MLP with per-instance z) — submodule parity alone cannot catch
+# feature-concat order or uv-sampling wiring bugs.
+# ---------------------------------------------------------------------------
+
+
+class TestFullGeneratorParity:
+    def test_local_sincos_z_forward(self):
+        from gaussiancity_tpu.config import GaussianNetworkConfig, PTv3Config
+        from gaussiancity_tpu.models.generator import Generator
+
+        gen = ref_generator_mod()
+        torch.manual_seed(11)
+        n_classes, P = 8, 32
+        ref_cfg = types.SimpleNamespace(
+            ENCODER="LOCAL", ENCODER_OUT_DIM=5, POS_EMD="SIN_COS",
+            SIN_COS_FREQ_BENDS=4, Z_DIM=16, MLP_HIDDEN_DIM=32,
+            MLP_N_SHARED_LAYERS=2,
+            ATTR_FACTORS={"rgb": 2.0, "opacity": 0.5},
+            ATTR_N_LAYERS={"rgb": 2, "opacity": 1},
+            PTV3=types.SimpleNamespace(ENABLED=False),
+        )
+        ref = gen.Generator(ref_cfg, n_classes, P)
+        ref.eval()
+
+        B, N = 1, 48
+        torch.manual_seed(12)
+        proj_uv = torch.rand(B, N, 2) * 2 - 1
+        rel_xyz = torch.rand(B, N, 3) * 2 - 1
+        onehots = torch.zeros(B, N, n_classes)
+        onehots.scatter_(2, torch.randint(0, n_classes, (B, N, 1)), 1.0)
+        hf = torch.rand(B, 1, P, P)
+        seg = torch.rand(B, n_classes, P, P)
+        instances = torch.randint(0, 3, (B, N))
+        zs = {}
+        for ui in instances.unique().tolist():
+            zs[ui] = {"z": torch.randn(1, 16), "idx": instances == ui}
+        with torch.no_grad():
+            ref_out = ref(proj_uv, rel_xyz, None, onehots, zs, hf, seg)
+
+        net = GaussianNetworkConfig(
+            encoder="LOCAL", encoder_out_dim=5, pos_emd="SIN_COS",
+            sin_cos_freq_bends=4, z_dim=16, mlp_hidden_dim=32,
+            mlp_n_shared_layers=2,
+            attr_factors={"rgb": 2.0, "opacity": 0.5},
+            attr_n_layers={"rgb": 2, "opacity": 1},
+            ptv3=PTv3Config(enabled=False),
+        )
+        ours = Generator(cfg=net, n_classes=n_classes, proj_size=P)
+        le = ref.proj_encoder
+        params = {
+            "proj_encoder": {
+                "TorchConv_0": _conv_p(le.hf_conv),
+                "TorchConv_1": _conv_p(le.seg_conv),
+                "GroupNorm_0": _port_gn(le.bn1),
+                "ResConvBlock_0": _port_res_block(le.conv2, 64, 128),
+                "ResConvBlock_1": _port_res_block(le.conv3, 128, 256),
+                "ResConvBlock_2": _port_res_block(le.conv4, 256, 512),
+                "TorchConvTranspose_0": {
+                    "kernel": tconv_kernel(le.dconv5.weight),
+                    "bias": jnp.asarray(t2n(le.dconv5.bias))},
+                "TorchConvTranspose_1": {
+                    "kernel": tconv_kernel(le.dconv6.weight),
+                    "bias": jnp.asarray(t2n(le.dconv6.bias))},
+                "TorchConv_2": _conv_p(le.dconv7),
+            },
+            "ga_mlp": _port_attr_mlp(ref.ga_mlp, dict(
+                n_shared_layers=2,
+                factors={"rgb": 2.0, "opacity": 0.5},
+                n_layers={"rgb": 2, "opacity": 1}, z_dim=16)),
+        }
+        z_dense = torch.zeros(B, N, 16)
+        for ui, v in zs.items():
+            z_dense[v["idx"]] = v["z"]
+        out = ours.apply(
+            {"params": params}, jnp.asarray(t2n(proj_uv)),
+            jnp.asarray(t2n(rel_xyz)), None, jnp.asarray(t2n(onehots)),
+            jnp.asarray(t2n(z_dense)),
+            jnp.asarray(t2n(hf).transpose(0, 2, 3, 1)),
+            jnp.asarray(t2n(seg).transpose(0, 2, 3, 1)),
+            jnp.ones((B, N), bool))
+        for k in ("rgb", "opacity"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), t2n(ref_out[k]), atol=3e-5, err_msg=k)
