@@ -553,15 +553,19 @@ class InferencePipeline:
 
 
 def _gaussian_blur3(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
-    """3x3 Gaussian blur, NHWC-free single image [H, W, C]."""
+    """3x3 Gaussian blur, single image [H, W, C], REFLECT border padding
+    (torchvision GaussianBlur semantics — reference scripts/inference.py
+    :255 uses torchvision.transforms.GaussianBlur(3, sigma=2), whose
+    functional implementation pads with 'reflect')."""
     x = np.arange(-1, 2, dtype=np.float32)
     k1 = np.exp(-(x ** 2) / (2 * sigma ** 2))
     k1 /= k1.sum()
     k = jnp.asarray(np.outer(k1, k1))
+    padded = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
     out = jax.lax.conv_general_dilated(
-        img[None].transpose(0, 3, 1, 2),
+        padded[None].transpose(0, 3, 1, 2),
         jnp.broadcast_to(k[None, None], (img.shape[-1], 1, 3, 3)),
-        (1, 1), "SAME", feature_group_count=img.shape[-1],
+        (1, 1), "VALID", feature_group_count=img.shape[-1],
     )
     return out[0].transpose(1, 2, 0)
 

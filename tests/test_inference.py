@@ -246,3 +246,25 @@ class TestCompactClassPath:
         H, W = cfg.dataset.sensor_size[1], cfg.dataset.sensor_size[0]
         assert frames[0].shape == (H, W, 3)
         assert frames[0].std() > 1.0
+
+
+class TestRoadBlurParity:
+    def test_blur_matches_reflect_oracle(self):
+        """reference scripts/inference.py:255 uses torchvision
+        GaussianBlur(kernel_size=3, sigma=2) == reflect-padded 3x3
+        separable Gaussian; pinned against a numpy oracle."""
+        from gaussiancity_tpu.inference.pipeline import _gaussian_blur3
+
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((9, 11, 3)).astype(np.float32)
+        x = np.arange(-1, 2, dtype=np.float32)
+        k1 = np.exp(-(x ** 2) / (2 * 2.0 ** 2))
+        k1 /= k1.sum()
+        k = np.outer(k1, k1)
+        pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+        want = np.zeros_like(img)
+        for dy in range(3):
+            for dx in range(3):
+                want += k[dy, dx] * pad[dy:dy + 9, dx:dx + 11]
+        got = np.asarray(_gaussian_blur3(jnp.asarray(img)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
