@@ -197,7 +197,16 @@ def run_inference(args) -> int:
     frames = pipeline.render_trajectory(
         projections, centers, poses, style_lut=style_lut,
         video_path=args.output)
-    logging.info("wrote %d frames to %s", len(frames), args.output)
+    # per-frame jpgs next to the video (the reference always writes them,
+    # scripts/inference.py:667)
+    import cv2
+
+    frame_dir = os.path.splitext(os.path.abspath(args.output))[0] + "_frames"
+    os.makedirs(frame_dir, exist_ok=True)
+    for i, f in enumerate(frames):
+        cv2.imwrite(os.path.join(frame_dir, "%04d.jpg" % i), f[..., ::-1])
+    logging.info("wrote %d frames to %s (+ jpgs in %s)", len(frames),
+                 args.output, frame_dir)
     return 0
 
 
