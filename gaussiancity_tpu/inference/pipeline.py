@@ -409,9 +409,17 @@ class InferencePipeline:
         recompile; growth recompiles are bounded by log2(budget)."""
         n = len(pts_sel)
         floor = max(n, 1024, self._slab_hwm.get(key, 0))
-        slab = budget
-        while slab // 2 >= floor and slab % 2 == 0:
-            slab //= 2
+        # size classes: halvings of the budget plus their 3/4 midpoints
+        # (1024-aligned) — a set generator runs ~25% closer to the
+        # visible count; the class count stays ~2 log2(budget)
+        classes = {budget}
+        s = budget
+        while s % 2 == 0 and s // 2 >= 1024:
+            s //= 2
+            classes.add(s)
+            if (3 * s // 2) % 1024 == 0:
+                classes.add(3 * s // 2)
+        slab = min((c for c in classes if c >= floor), default=budget)
         self._slab_hwm[key] = max(self._slab_hwm.get(key, 0), slab)
         out = np.zeros((slab, pts_sel.shape[1]), np.float32)
         out[:n] = pts_sel
