@@ -655,6 +655,12 @@ class PTv3Single(nn.Module):
             if s > 0:
                 cap = max(N // (cfg.pool_capacity_divisor ** s),
                           min(cfg.enc_patch_size[s], N))
+                # attention requires the stage's point capacity to divide
+                # into whole patches; round UP (extra padded slots are
+                # masked) so non-power-of-two N (e.g. a 24576 budget with
+                # patch 1024 -> stage cap 1536) works
+                patch_s = min(cfg.enc_patch_size[s], cap)
+                cap = -(-cap // patch_s) * patch_s
                 pooled = SerializedPooling(
                     cfg.enc_channels[s], cfg.stride[s - 1], cap,
                     dtype=self.dtype, axis_name=self.axis_name,
