@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,7 +88,7 @@ class RaycastResult(NamedTuple):
     raydirs: jnp.ndarray  # [H, W, 3]
 
 
-COARSE = 8  # supervoxel edge (fine cells per coarse cell)
+COARSE = 8  # coarse column block edge (xy cells per block); power of two
 
 
 def _bitpack(occ: jnp.ndarray):
@@ -104,26 +106,34 @@ def _bitpack(occ: jnp.ndarray):
 
 
 def pack_occupancy(volume: jnp.ndarray):
-    """(occ_words [h, w, ceil(d/32)] uint32, ztop f32 — 1 + highest
-    occupied z, coarse_words [h/8, w/8, ceil(d/8/32)] uint32 supervoxel
-    occupancy for the hierarchical march).
+    """(occ_words [h, w, ceil(d/32)] uint32 per-column z-bitmasks, ztop
+    f32 — 1 + highest occupied z, coarse_cols [ceil(h/8), ceil(w/8),
+    ceil(d/32)] uint32 — the bitwise OR of each 8x8 xy block's columns).
+
+    The coarse table keeps FULL z resolution (only xy is coarsened): a
+    ray's z-span test against a coarse column is exact per 8x8 block, so
+    a shallow ray grazing just above the rooftops still coarse-skips even
+    though the ground slab below is solidly occupied — the failure mode
+    of a 3-D supervoxel hierarchy, where any block containing the ground
+    is "occupied" at every altitude.
 
     Built once per volume: trajectory renderers cache it next to the id
     volume so per-frame raycasts don't re-pack 50M voxels."""
     h, w, d = volume.shape
     occ = volume != 0
     occ_words = _bitpack(occ)
+    dw = occ_words.shape[-1]
     ztop = (jnp.max(jnp.where(
         jnp.any(occ, axis=(0, 1)), jnp.arange(occ.shape[-1]), -1))
         .astype(jnp.float32) + 1.0)
-    # supervoxel occupancy: OR over 8x8x8 blocks (pad dims up to COARSE)
     C = COARSE
-    hp, wp, dp = (-(-s // C) * C for s in (h, w, d))
-    occ_p = jnp.zeros((hp, wp, dp), bool).at[:h, :w, :d].set(occ)
-    occ_c = jnp.any(
-        occ_p.reshape(hp // C, C, wp // C, C, dp // C, C),
-        axis=(1, 3, 5))
-    return occ_words, ztop, _bitpack(occ_c)
+    hb, wb = -(-h // C), -(-w // C)
+    wp = jnp.zeros((hb * C, wb * C, dw), jnp.uint32)
+    wp = wp.at[:h, :w].set(occ_words)
+    coarse_cols = jax.lax.reduce(
+        wp.reshape(hb, C, wb, C, dw), jnp.uint32(0),
+        jax.lax.bitwise_or, (1, 3))
+    return occ_words, ztop, coarse_cols
 
 
 def ray_voxel_intersection(
@@ -137,16 +147,21 @@ def ray_voxel_intersection(
     max_steps: int | None = None,
     occupancy=None,  # optional prebuilt pack_occupancy(volume)
     n_bands: int = 16,  # independent row-band loops (see below)
+    order: str | None = None,  # None = image rows; "cost" = sorted march
+    return_band_iters: bool = False,  # also return per-band loop iters
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
-    Three accelerations over the naive march:
+    Three accelerations over the naive per-cell march:
 
-    - (exact) the march tests a BIT-PACKED occupancy volume ([h, w, d/32]
-      uint32, ~32x smaller than the id volume) so the per-step random
-      gather hits a cache-resident table; the id is fetched once per ray
-      at the hit voxel.  At 512x512x192 / 518k rays this is the difference
-      between a 201 MB and a 6.3 MB working set for ~600M gathers.
+    - (exact) COLUMN testing against the bit-packed occupancy ([h, w,
+      d/32] uint32 per-column z-bitmasks, ~32x smaller than the id
+      volume): the ray advances only over x/y cell crossings (plus
+      z-WORD boundaries), and each step tests the ENTIRE z-interval the
+      segment spans in that column with one masked 32-bit word — the
+      z axis contributes no per-cell steps.  The first hit in ray order
+      is the lowest (ascending z) or highest (descending) set bit of the
+      masked word; the id volume is touched once per ray at the hit.
     - rays above the highest occupied voxel skip analytically to the slab
       boundary (cities are flat: the camera orbits far above max building
       height, and horizon-grazing rays otherwise march the full empty sky).
@@ -155,24 +170,37 @@ def ray_voxel_intersection(
       unskipped DDA up to that rounding (a corner-grazing ray can land one
       cell over).  Every voxel skipped is empty by construction of ztop,
       so no hit is ever missed.
-    - hierarchical (two-phase) march: rays first DDA an 8^3-supervoxel
-      occupancy (a ~16 KB table) and only march fine cells from the entry
-      of the first occupied supervoxel — every fine cell skipped lies in
-      an all-empty supervoxel, so no hit is ever missed; the fine start
-      backs off 1e-3 cells so the block's first cell is entered (same
-      float-rounding tolerance as the sky skip).
+    - two-level xy hierarchy as a UNIFIED per-ray state machine: each ray
+      carries (t, mode, block) — coarse mode steps 8x8-column blocks
+      (their z-masks are the OR of the block's columns, at FULL z
+      resolution, so a ray just above the rooftops skips blocks whose
+      ground floors are solid), fine mode steps single columns, and
+      transitions happen per ray with no phase barriers.  Every iteration
+      performs exactly ONE occupancy gather per ray (fine and coarse
+      words live in one concatenated buffer).  Segments are sampled at
+      midpoints between consecutive crossings with boundary-inset z
+      endpoints (robust to float rounding); every column skipped lies in
+      an all-empty block, so no hit is ever missed.
+
+    Measured on chip (512x512x192 volume, 518k rays, synthetic city):
+    593 ms (3-D supervoxel two-phase rounds, round 3) -> 446 ms; the
+    march is gather-bound (~95% of the cost is the per-step occupancy
+    row fetch), so ray order must stay image-coherent (see ``order``).
     """
     h, w, d = volume.shape
     H, W = img_dims
     vol_flat = volume.reshape(-1)
     if occupancy is None:
         occupancy = pack_occupancy(volume)
-    occ_words, ztop, coarse_words = occupancy
+    occ_words, ztop, coarse_cols = occupancy
     dw = occ_words.shape[-1]
-    occ_flat = occ_words.reshape(-1)
-    hc, wc, dwc = coarse_words.shape
-    dc = -(-d // COARSE)
-    occ_c_flat = coarse_words.reshape(-1)
+    hb, wb = coarse_cols.shape[0], coarse_cols.shape[1]
+    # fine + coarse words share one buffer: the per-step gather target is
+    # an index select, never a second gather
+    occ_all = jnp.concatenate(
+        [occ_words.reshape(-1), coarse_cols.reshape(-1)])
+    base_c = h * w * dw
+    total_words = base_c + hb * wb * dw
 
     # Camera basis (ray_voxel_intersection.cu host code builds fwd/side/up
     # from viewdir and world-up by Gram-Schmidt; mirrored here)
@@ -214,6 +242,32 @@ def ray_voxel_intersection(
     if max_steps is None:
         max_steps = h + w + d + 3
 
+    # Optional cost-sorted scheduling (``order="cost"``): sorts rays by a
+    # closed-form march-length proxy so bands are cost-homogeneous.
+    # MEASURED SLOWER on chip (448 -> 887 ms at 518k rays): permuting
+    # rays destroys the spatial coherence of the per-step occupancy
+    # gathers (adjacent image rays touch adjacent columns; sorted-by-cost
+    # neighbors touch random columns), and the gather is ~95% of the
+    # march cost.  Kept for volumes whose cost distribution is extreme
+    # enough to flip the trade; the default row order is coherent.
+    perm = None
+    if order == "cost":
+        def crossings_to_exit(i, dim):
+            t = jnp.where(
+                rd[i] > 0, (dim - ro[i]) / rd[i],
+                jnp.where(rd[i] < 0, -ro[i] / rd[i], jnp.inf))
+            return jnp.maximum(t, 0.0)
+        t_exit = jnp.minimum(
+            jnp.minimum(crossings_to_exit(0, h), crossings_to_exit(1, w)),
+            crossings_to_exit(2, d))
+        t_exit = jnp.where(jnp.isfinite(t_exit), t_exit, 0.0)
+        key = sum(jnp.abs(rd[i]) * t_exit for i in range(3))
+        key = jnp.where(miss0, 0.0, key)
+        perm = jnp.argsort(key)
+        miss0 = miss0[perm]
+        ro = [v[perm] for v in ro]
+        rd = [v[perm] for v in rd]
+
     # Band the rays over image rows, one while loop per band (lax.scan):
     # a done ray in a lockstep loop still issues a masked gather each
     # step, so the loop runs as long as the WORST ray anywhere; per-band
@@ -236,185 +290,173 @@ def ray_voxel_intersection(
         tuple(bandify(rd[i], 1.0) for i in range(3)),
     )
 
-    def make_dda(occ_words_flat, words_dw, dims, steps):
-        """Band DDA over a bit-packed occupancy grid: (ro SoA, rd SoA,
-        done0) -> (hit_lin, entry-time hit_t, t_prog, exited) [Rb each].
-        Cells are tested only after the first crossing (reference DDA
-        semantics).  ``t_prog`` is how far a still-live ray advanced when
-        the step bound hit (for resumable bounded marches); ``exited``
-        marks rays that left the grid without a hit."""
-        d0, d1, d2 = dims
-
-        def march(ro_b, rd_b, done0):
-            ai_b = [jnp.floor(ro_b[i]).astype(jnp.int32) for i in range(3)]
-            pos_b = [rd_b[i] > 0 for i in range(3)]
-
-            def init_t(i):
-                return jnp.where(
-                    rd_b[i] > 0,
-                    (ai_b[i].astype(jnp.float32) + 1.0 - ro_b[i]) / rd_b[i],
-                    jnp.where(
-                        rd_b[i] < 0,
-                        (ai_b[i].astype(jnp.float32) - ro_b[i]) / rd_b[i],
-                        jnp.inf))
-
-            at_b = [init_t(i) for i in range(3)]
-
-            def cond(state):
-                i, done = state[0], state[1]
-                return (i < steps) & jnp.logical_not(jnp.all(done))
-
-            def body(state):
-                (i, done, ax0i, ax1i, ax2i, at0, at1, at2,
-                 hit_lin, hit_t, t_prog, exited) = state
-                aint = [ax0i, ax1i, ax2i]
-                at_ = [at0, at1, at2]
-                # smallest-t axis, tie-break x<y<z
-                # (ray_voxel_intersection.cu:127-176)
-                t01 = at_[0] <= at_[1]
-                t02 = at_[0] <= at_[2]
-                t12 = at_[1] <= at_[2]
-                sel0 = t01 & t02
-                sel1 = jnp.logical_not(sel0) & t12
-                sel2 = jnp.logical_not(sel0) & jnp.logical_not(t12)
-                tnow = jnp.where(sel0, at_[0],
-                                 jnp.where(sel1, at_[1], at_[2]))
-
-                new_aint = []
-                new_at = []
-                quit_now = jnp.zeros_like(done)
-                for i_ax, sel in enumerate((sel0, sel1, sel2)):
-                    step = jnp.where(pos_b[i_ax], 1, -1)
-                    cur = aint[i_ax] + jnp.where(sel, step, 0)
-                    out_hi = pos_b[i_ax] & (cur >= dims[i_ax])
-                    out_lo = jnp.logical_not(pos_b[i_ax]) & (cur < 0)
-                    quit_now = quit_now | (sel & (out_hi | out_lo))
-                    nt = jnp.where(
-                        pos_b[i_ax],
-                        (cur.astype(jnp.float32) + 1.0 - ro_b[i_ax])
-                        / rd_b[i_ax],
-                        (cur.astype(jnp.float32) - ro_b[i_ax])
-                        / rd_b[i_ax])
-                    new_aint.append(jnp.where(sel, cur, aint[i_ax]))
-                    new_at.append(jnp.where(sel, nt, at_[i_ax]))
-
-                inside = (
-                    (new_aint[0] >= 0) & (new_aint[0] < d0)
-                    & (new_aint[1] >= 0) & (new_aint[1] < d1)
-                    & (new_aint[2] >= 0) & (new_aint[2] < d2))
-                # occupancy test against the bit-packed words; the id
-                # volume is only touched after the loops, at the hit voxel
-                lin_w = (new_aint[0] * (d1 * words_dw)
-                         + new_aint[1] * words_dw + (new_aint[2] >> 5))
-                lin_w = jnp.clip(lin_w, 0, d0 * d1 * words_dw - 1)
-                word = jnp.where(inside, occ_words_flat[lin_w],
-                                 jnp.uint32(0))
-                bit = (word >> (new_aint[2] & 31).astype(jnp.uint32)) & 1
-                newly_hit = jnp.logical_not(done) & (bit != 0)
-                lin = (new_aint[0] * d1 * d2 + new_aint[1] * d2
-                       + new_aint[2])
-                hit_lin = jnp.where(newly_hit, lin, hit_lin)
-                hit_t = jnp.where(newly_hit, tnow, hit_t)
-                live = jnp.logical_not(done)
-                t_prog = jnp.where(live, tnow, t_prog)
-                exited = exited | (live & quit_now)
-                done = done | newly_hit | (live & quit_now)
-                keep = done
-                outs = [jnp.where(keep, aint[k], new_aint[k])
-                        for k in range(3)]
-                outt = [jnp.where(keep, at_[k], new_at[k])
-                        for k in range(3)]
-                return (state[0] + 1, done, outs[0], outs[1], outs[2],
-                        outt[0], outt[1], outt[2], hit_lin, hit_t,
-                        t_prog, exited)
-
-            state0 = (
-                jnp.int32(0),
-                done0,
-                ai_b[0], ai_b[1], ai_b[2],
-                at_b[0], at_b[1], at_b[2],
-                jnp.full((Rb,), -1, dtype=jnp.int32),
-                jnp.full((Rb,), jnp.inf, dtype=jnp.float32),
-                jnp.zeros((Rb,), jnp.float32),
-                jnp.zeros((Rb,), bool),
-            )
-            out = jax.lax.while_loop(cond, body, state0)
-            return out[8], out[9], out[10], out[11]
-
-        return march
-
-    coarse_march = make_dda(occ_c_flat, dwc, (hc, wc, dc),
-                            hc + wc + dc + 3)
-    # bounded fine phase: ~a supervoxel diagonal plus slack, so a grazing
-    # ray that clips a block without hitting RETURNS TO COARSE marching
-    # instead of fine-stepping the rest of the volume
-    FINE_STEPS = 8 * COARSE
-    fine_march = make_dda(occ_flat, dw, (h, w, d), FINE_STEPS)
-    Cf = float(COARSE)
-    n_rounds = -(-max_steps // FINE_STEPS) + 2
+    # Two-level COLUMN march (see docstring): the ray advances over x/y
+    # cell (fine) or 8x8-block (coarse) crossings plus z-WORD (32-cell)
+    # boundaries; each iteration tests the ENTIRE z-interval the segment
+    # spans in one column with a single masked 32-bit word — the z axis
+    # never contributes per-cell steps.  One occupancy gather per ray per
+    # iteration; first hit in ray order via trailing/leading-bit ops.
+    Cs = float(COARSE)
+    assert COARSE & (COARSE - 1) == 0, "COARSE must be a power of two"
+    cshift = COARSE.bit_length() - 1
+    iter_cap = max_steps
+    FULL = jnp.uint32(0xFFFFFFFF)
 
     def run_band(carry, bx):
         done0, ro_b, rd_b = bx
+        inv = [1.0 / rd_b[i] for i in range(3)]  # +-inf at rd == 0
+        step01 = [(rd_b[i] > 0).astype(jnp.float32) for i in range(3)]
+        zero_rd = [rd_b[i] == 0 for i in range(3)]
+        pos_dir = [rd_b[i] > 0 for i in range(3)]
+        neg_dir = [rd_b[i] < 0 for i in range(3)]
 
-        def round_body(state):
-            r, t_cur, done, hit_lin, hit_t = state
-            pos = [ro_b[i] + t_cur * rd_b[i] for i in range(3)]
-            # coarse phase (coarse units: t_c = t / COARSE)
-            roc = [pos[i] / Cf for i in range(3)]
-            chit, tc, _, c_exit = coarse_march(roc, rd_b, done)
-            # the DDA never tests the STARTING cell — if the ray begins
-            # inside an occupied supervoxel, fine-march from here
-            c0 = [jnp.clip(jnp.floor(roc[i]).astype(jnp.int32), 0,
-                           (hc, wc, dc)[i] - 1) for i in range(3)]
-            in0 = ((roc[0] >= 0) & (roc[0] < hc) & (roc[1] >= 0)
-                   & (roc[1] < wc) & (roc[2] >= 0) & (roc[2] < dc))
-            w0 = occ_c_flat[jnp.clip(
-                c0[0] * (wc * dwc) + c0[1] * dwc + (c0[2] >> 5),
-                0, hc * wc * dwc - 1)]
-            occ0 = in0 & (
-                ((w0 >> (c0[2] & 31).astype(jnp.uint32)) & 1) != 0)
-            miss_c = jnp.logical_not(done) & jnp.logical_not(occ0) & (
-                (chit < 0) | c_exit)
-            done = done | miss_c
-            t_enter = t_cur + jnp.where(occ0, 0.0, tc * Cf)
-            # back off so the block's first fine cell is ENTERED (the
-            # fine march only samples after a crossing)
-            t_start = jnp.maximum(t_enter - 1e-3, 0.0)
-            ro2 = [ro_b[i] + t_start * rd_b[i] for i in range(3)]
-            flin, tf, t_prog, f_exit = fine_march(ro2, rd_b, done)
-            newly_hit = jnp.logical_not(done) & (flin >= 0)
-            hit_lin = jnp.where(newly_hit, flin, hit_lin)
-            hit_t = jnp.where(newly_hit, t_start + tf, hit_t)
-            done = done | newly_hit | f_exit
-            # resume just inside the last TESTED fine cell
-            t_next = t_start + t_prog + 1e-3
-            return (r + 1, jnp.maximum(t_next, t_cur), done,
-                    hit_lin, hit_t)
+        # start at the first FINE crossing (x/y cell or z CELL): the
+        # reference DDA samples cells only after the first crossing, so
+        # the origin cell must stay untested while the rest of the origin
+        # column (entered via its z-cell crossing) must not be skipped
+        def first_cross(i, scale=1.0):
+            c = jnp.floor(ro_b[i] / scale)
+            t = ((c + step01[i]) * scale - ro_b[i]) * inv[i]
+            return jnp.where(zero_rd[i], jnp.inf, t)
 
-        def round_cond(state):
-            r, _, done = state[0], state[1], state[2]
-            return (r < n_rounds) & jnp.logical_not(jnp.all(done))
+        t0 = jnp.minimum(jnp.minimum(first_cross(0), first_cross(1)),
+                         first_cross(2))
+        t0 = jnp.maximum(t0, 0.0)
+        blk0 = (jnp.floor(ro_b[0] / Cs).astype(jnp.int32) * wb
+                + jnp.floor(ro_b[1] / Cs).astype(jnp.int32))
 
-        out = jax.lax.while_loop(round_cond, round_body, (
-            jnp.int32(0), jnp.zeros((Rb,), jnp.float32), done0,
+        def cond(st):
+            return (st[0] < iter_cap) & jnp.logical_not(jnp.all(st[1]))
+
+        def body(st):
+            it, done, fine, t, blk, hit_lin, hit_t = st
+            live = jnp.logical_not(done)
+            s = jnp.where(fine, 1.0, Cs)
+            s_inv = jnp.where(fine, 1.0, 1.0 / Cs)
+            # next crossing: x/y in mode units, z at word granularity
+            def crossing(i, sc, sc_inv):
+                p = ro_b[i] + t * rd_b[i]
+                c = jnp.floor(p * sc_inv)
+                ti = ((c + step01[i]) * sc - ro_b[i]) * inv[i]
+                return jnp.where(zero_rd[i], jnp.inf, ti)
+
+            tn = jnp.minimum(
+                jnp.minimum(crossing(0, s, s_inv), crossing(1, s, s_inv)),
+                crossing(2, 32.0, 1.0 / 32.0))
+            # forced progress: a crossing landing exactly on a boundary
+            # (float rounding) would otherwise stall forever; ~1e-4 cells
+            # is the same tolerance class as the sky skip's re-based
+            # origin
+            tn = jnp.maximum(tn, t + 1e-4)
+            tm = 0.5 * (t + tn)
+            m0 = jnp.floor((ro_b[0] + tm * rd_b[0]) * s_inv
+                           ).astype(jnp.int32)
+            m1 = jnp.floor((ro_b[1] + tm * rd_b[1]) * s_inv
+                           ).astype(jnp.int32)
+            wz = jnp.floor((ro_b[2] + tm * rd_b[2]) * (1.0 / 32.0)
+                           ).astype(jnp.int32)
+            # z-cell span of the segment, endpoints inset 1e-3 into the
+            # open interval so boundary-exact endpoints round inward
+            za = ro_b[2] + (t + 1e-3 * (tn - t)) * rd_b[2]
+            zb = ro_b[2] + (tn - 1e-3 * (tn - t)) * rd_b[2]
+            zlo = jnp.floor(jnp.minimum(za, zb)).astype(jnp.int32)
+            zhi = jnp.floor(jnp.maximum(za, zb)).astype(jnp.int32)
+            # segments never straddle a z-word boundary (crossings split
+            # there), so wz is THE word; clamp the span into it
+            lo5 = (jnp.maximum(zlo, wz * 32) & 31).astype(jnp.uint32)
+            hi5 = (jnp.minimum(zhi, wz * 32 + 31) & 31).astype(jnp.uint32)
+            span_ok = zlo <= zhi
+
+            d0 = jnp.where(fine, h, hb)
+            d1 = jnp.where(fine, w, wb)
+            out_hi0 = m0 >= d0
+            out_lo0 = m0 < 0
+            out_hi1 = m1 >= d1
+            out_lo1 = m1 < 0
+            out_hi2 = wz >= dw
+            out_lo2 = wz < 0
+            outside = (out_hi0 | out_lo0 | out_hi1 | out_lo1 | out_hi2
+                       | out_lo2)
+            out_away = ((out_hi0 & pos_dir[0]) | (out_lo0 & neg_dir[0])
+                        | (out_hi1 & pos_dir[1]) | (out_lo1 & neg_dir[1])
+                        | (out_hi2 & pos_dir[2]) | (out_lo2 & neg_dir[2]))
+            # a fine ray crossing into a NEW 8x8 block spends this
+            # iteration coarse-testing it instead
+            b0 = m0 >> cshift
+            b1 = m1 >> cshift
+            mblk = b0 * wb + b1
+            is_new = fine & (mblk != blk)
+            coarse_test = jnp.logical_not(fine) | is_new
+            cc0 = jnp.where(fine, b0, m0)
+            cc1 = jnp.where(fine, b1, m1)
+            gidx = jnp.where(coarse_test,
+                             base_c + (cc0 * wb + cc1) * dw + wz,
+                             (m0 * w + m1) * dw + wz)
+            wrd = jnp.where(
+                outside | done, jnp.uint32(0),
+                occ_all[jnp.clip(gidx, 0, total_words - 1)])
+            mask = (FULL << lo5) & (FULL >> (jnp.uint32(31) - hi5))
+            hitw = jnp.where(span_ok, wrd & mask, jnp.uint32(0))
+            any_bit = hitw != 0
+            # first set bit along the ray's z direction
+            low_bit = jax.lax.population_count((hitw - 1) & ~hitw)
+            high_bit = jnp.uint32(31) - jax.lax.clz(hitw)
+            kbit = jnp.where(rd_b[2] >= 0, low_bit, high_bit
+                             ).astype(jnp.int32)
+            kz = wz * 32 + kbit
+
+            hit = live & fine & jnp.logical_not(is_new) & any_bit
+            enter_fine = live & coarse_test & any_bit
+            adv = live & jnp.logical_not(any_bit) & jnp.logical_not(is_new)
+            done_n = done | hit | (live & out_away)
+            fine_n = jnp.where(
+                enter_fine, True,
+                jnp.where(live & coarse_test & jnp.logical_not(any_bit),
+                          False, fine))
+            blk_n = jnp.where(enter_fine,
+                              jnp.where(fine, mblk, m0 * wb + m1), blk)
+            hit_lin_n = jnp.where(hit, (m0 * w + m1) * d + kz, hit_lin)
+            # entry param of the hit cell: the later of the segment start
+            # and the z-crossing into cell kz
+            tz = ((kz + (rd_b[2] < 0)).astype(jnp.float32) - ro_b[2]
+                  ) * inv[2]
+            tz = jnp.where(zero_rd[2], t, tz)
+            hit_t_n = jnp.where(hit, jnp.maximum(t, tz), hit_t)
+            t_n = jnp.where(adv & jnp.logical_not(done_n), tn, t)
+            return (it + 1, done_n, fine_n, t_n, blk_n, hit_lin_n,
+                    hit_t_n)
+
+        # start in fine mode: fine tests are always exact, and the first
+        # block crossing switches to coarse within <=8 steps
+        out = jax.lax.while_loop(cond, body, (
+            jnp.int32(0), done0, jnp.ones((Rb,), bool), t0, blk0,
             jnp.full((Rb,), -1, jnp.int32),
             jnp.full((Rb,), jnp.inf, jnp.float32)))
-        return carry, (out[3], out[4])
+        return carry, (out[5], out[6], out[0])
 
-    _, (hit_lin_b, hit_t_b) = jax.lax.scan(run_band, 0, xs)
+    _, (hit_lin_b, hit_t_b, band_iters) = jax.lax.scan(run_band, 0, xs)
     hit_lin = hit_lin_b.reshape(-1)[:R]
     hit_t = hit_t_b.reshape(-1)[:R]
+    if perm is not None:
+        # restore original ray order: sorting by the permutation (a
+        # permutation of iota) with the results as payloads inverts it in
+        # one sort — no scatter, no second argsort
+        _, hit_lin, hit_t = jax.lax.sort(
+            (perm.astype(jnp.int32), hit_lin, hit_t), num_keys=1)
     hit = hit_lin >= 0
     hit_id = jnp.where(
         hit, vol_flat[jnp.clip(hit_lin, 0, h * w * d - 1)], 0)
     # depth is measured from the true camera origin (t_skip happened
     # before the march started)
     hit_t = jnp.where(hit, hit_t + t_skip, hit_t)
-    return RaycastResult(
+    res = RaycastResult(
         voxel_id=hit_id.reshape(H, W),
         depth=hit_t.reshape(H, W),
         raydirs=raydir,
     )
+    if return_band_iters:
+        return res, band_iters
+    return res
 
 
 def get_visible_points(
@@ -454,6 +496,8 @@ def visible_from_volume(
     img_dims: Tuple[int, int],
     offsets: jnp.ndarray,
     occupancy=None,  # optional prebuilt pack_occupancy(vol)
+    n_bands: int = 16,
+    order: str | None = None,
 ):
     """Raycast against a prebuilt id volume (the volume depends only on
     the points: trajectory renderers build it once and raycast per frame)."""
@@ -467,7 +511,7 @@ def visible_from_volume(
     vdir = jnp.stack([look_dir[1], look_dir[0], look_dir[2]])
     res = ray_voxel_intersection(
         vol, ori, vdir, jnp.asarray([0.0, 0.0, 1.0]), cam_f, cam_c,
-        img_dims, occupancy=occupancy)
+        img_dims, occupancy=occupancy, n_bands=n_bands, order=order)
     vp_map = res.voxel_id - 1  # -1 = miss
     ins = points[:, 4]
     ins_map = jnp.where(vp_map >= 0, ins[jnp.maximum(vp_map, 0)], 0)
