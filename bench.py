@@ -46,6 +46,34 @@ def build_scene(n=65536, seed=0):
     return means, opacity, scales, quats, colors
 
 
+def headline_cfg(backend):
+    """Rasterizer config of the headline scene, shared with the stage
+    breakdown.  All capacities are sized to the measured 32x32-tile
+    histogram of build_scene() with zero overflow (asserted below):
+    - tile_capacity 1152 covers the max per-tile count (1025 with the
+      full uncapped duplication).
+    - The tiered expansion (binning.py) + main cap 4 reproduces the
+      reference's uncapped duplicateWithKeys exactly (n_dropped_pairs is
+      asserted ZERO) while sorting 450k pairs (at 8x128 vreg-shaped
+      tiles this was 601k, and the true pair count 297k vs 212k now —
+      square tiles cover ~1.4x fewer tiles per Gaussian).  Tier sizing:
+      n_over(4) = 6838 < 7168, n_over(16) = 1847 < 2048, area(513th)
+      = 45 < 48, area(65th) = 90 < 96, max area 143 <= full grid.
+    - grad_capacity 1024 covers the scene's deepest contributor:
+      n_grad_truncated == 0 is asserted, so gradients are bit-identical
+      to the unbounded scatter.
+    - grad_budget 131072 covers sum-per-tile gradient depth with
+      headroom; the backward scatters compacted rows only."""
+    from gaussiancity_tpu.config import RasterizerConfig
+
+    return RasterizerConfig(tile_h=32, tile_w=32,
+                            tile_capacity=1152, max_tiles_per_gaussian=4,
+                            bin_tiers=((7168, 16), (2048, 48), (512, 96),
+                                       (64, 0)),
+                            grad_capacity=1024, grad_budget=131072,
+                            backend=backend)
+
+
 def bench_rasterizer(jax, jnp):
     from gaussiancity_tpu.camera import CameraModel
     from gaussiancity_tpu.config import RasterizerConfig
@@ -57,27 +85,7 @@ def bench_rasterizer(jax, jnp):
     cam = CameraModel(K, (W, H)).params(
         np.zeros(3), np.array([0, 0, 0, 1.0]))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    # tile_capacity 1536 covers this scene's max per-tile count (1433 with
-    # the full uncapped duplication) with zero truncation (asserted below).
-    # The tiered expansion (binning.py) + main cap 4 reproduces the
-    # reference's uncapped duplicateWithKeys exactly — n_dropped_pairs is
-    # asserted ZERO, unlike rounds 1-2 which capped at 32 tiles/Gaussian —
-    # while sorting 728k pairs instead of 2.1M.
-    # grad_capacity 1024 covers the scene's deepest contributor (max
-    # per-tile n_contrib is 883): n_grad_truncated == 0 is asserted below,
-    # so gradients are bit-identical to the unbounded scatter while the
-    # VJP transpose scatters 287k instead of 430k slot rows.
-    # grad_budget 131072 covers sum-per-tile depth (75k) with ~1.7x
-    # headroom: the backward scatters 131k compacted rows instead of the
-    # 287k dense [tiles, 1024] rows (or 430k unbounded).
-    # bin_tiers sized to this scene's measured area histogram (n_over(4)
-    # = 12847 < 13312, n_over(16) = 3155 < 3328, area(1025th) = 36,
-    # area(129th) = 90): 601k sorted pairs, still zero drops (asserted).
-    cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=4,
-                           bin_tiers=((13312, 16), (3328, 48), (1024, 96),
-                                      (128, 0)),
-                           grad_capacity=1024, grad_budget=131072,
-                           backend=backend)
+    cfg = headline_cfg(backend)
     scene = tuple(map(jnp.asarray, build_scene()))
 
     def loss(*s):
@@ -232,9 +240,16 @@ def bench_raster_2m(jax, jnp):
     cam = CameraModel(K, (W, H)).params(
         np.zeros(3), np.array([0, 0, 0, 1.0]))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Sized to the scene's measured 32x32-tile stats: 244,380 of the 2M
+    # Gaussians have nonzero area (visible_cap 262144 covers them all —
+    # the compacted expansion sorts 1.2M pair rows instead of the 8.4M a
+    # dense max_tiles_per_gaussian=4 pass would); per-tile max count 860
+    # (tile_capacity 1024); n_over(8) = 376 < 2048, n_over(2) = 24182 <
+    # 24576, max area <= 48.  Zero drops / zero truncation recorded in
+    # the extras.
     cfg = RasterizerConfig(
-        tile_capacity=6144, max_tiles_per_gaussian=2,
-        bin_tiers=((262144, 8), (32768, 48), (2048, 0)),
+        tile_capacity=1024, max_tiles_per_gaussian=4,
+        bin_tiers=((24576, 8), (2048, 48)), visible_cap=262144,
         backend=backend)
     # a city-scale cloud: most of the 2M Gaussians lie outside the
     # frustum (as in a real city frame), visible density stays physical
@@ -282,9 +297,7 @@ def bench_stage_breakdown(jax, jnp):
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
     cam = CameraModel(K, (W, H)).params(np.zeros(3), np.array([0, 0, 0, 1.0]))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    cfg = RasterizerConfig(tile_capacity=1536, max_tiles_per_gaussian=4,
-                           grad_capacity=1024, grad_budget=131072,
-                           backend=backend)
+    cfg = headline_cfg(backend)
     means3d, opacity, scales, quats, colors = map(jnp.asarray, build_scene())
     valid = jnp.ones((means3d.shape[0],), bool)
 

@@ -158,10 +158,16 @@ def kitti_360_dataset() -> DatasetConfig:
 
 @dataclass(frozen=True)
 class RasterizerConfig(_Base):
-    # TPU-native pixel tile: (8, 128) matches the f32 vreg (sublane, lane)
-    # geometry — the analogue of the reference's 16x16 CUDA block.
-    tile_h: int = 8
-    tile_w: int = 128
+    # TPU-native pixel tile — the analogue of the reference's 16x16 CUDA
+    # block (config.h:15).  The Pallas kernel always computes on (8, 128)
+    # f32 vregs; any (tile_h, tile_w) with tile_h * tile_w == 1024 and
+    # tile_h == 8 * (128 // tile_w) maps onto one vreg via the strip
+    # layout (blend_pallas.py module doc).  The default 32x32 SQUARE tile
+    # costs the same 1024 pixels per blended pair but covers ~1.4x fewer
+    # tiles per (near-isotropic) Gaussian than the vreg-shaped 8x128,
+    # cutting pair count through binning/gather/blend by that factor.
+    tile_h: int = 32
+    tile_w: int = 32
     # Static per-Gaussian duplication cap: max number of tiles one Gaussian
     # may be binned into (the reference's tiles_touched is dynamic;
     # forward.cu:232). Gaussians overflowing the cap have their binned tile
@@ -201,6 +207,14 @@ class RasterizerConfig(_Base):
     # dense [tiles, grad_capacity] scatter.  Overflow is counted in
     # n_grad_truncated.  0 = dense scatter.
     grad_budget: int = 0
+    # >0: only the visible_cap largest-rect Gaussians expand into
+    # (tile, depth) pairs at all (binning.py::bin_gaussians) — city-scale
+    # clouds keep most points outside the frustum, and the dense pair
+    # expansion would sort max_tiles_per_gaussian slots for every one of
+    # them.  Exact (n_dropped_pairs == 0) whenever the cap covers every
+    # nonzero-area Gaussian; overflow is counted in n_dropped_pairs.
+    # 0 = every Gaussian expands.
+    visible_cap: int = 0
     # Chunk size of the k-loop in the blend kernels.
     chunk: int = 8
     backend: str = "auto"  # "pallas" | "xla" | "auto"

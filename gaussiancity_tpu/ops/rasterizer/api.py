@@ -109,6 +109,7 @@ def rasterize(
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         tile_capacity=cfg.tile_capacity,
         tiers=cfg.bin_tiers,
+        visible_cap=cfg.visible_cap,
     )
 
     n_ty, n_tx = binning.tile_grid(img_h, img_w, cfg.tile_h, cfg.tile_w)

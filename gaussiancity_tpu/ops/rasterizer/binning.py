@@ -120,6 +120,7 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 32,
     tile_capacity: int = 1024,
     tiers=(),
+    visible_cap: int = 0,
 ) -> TileBins:
     """Build fixed-capacity per-tile Gaussian lists, front-to-back.
 
@@ -128,6 +129,16 @@ def bin_gaussians(
     rects (by tile area) expand under ``tile_cap`` tiles (0 = the full
     grid) instead of the main ``max_tiles_per_gaussian`` cap — see the
     module docstring.
+
+    ``visible_cap`` (> 0) bounds how many Gaussians expand AT ALL: only
+    the ``visible_cap`` largest rects enter the main pass (tiers are
+    unaffected).  City-scale clouds keep most Gaussians outside the
+    frustum (area 0), yet the dense main pass would still expand and
+    sort D pair slots for every one of them — the pair sort of the 2M
+    bench scene is 8.4M rows of which only ~0.4M are real.  With a cap
+    covering every nonzero-area Gaussian the binning is exact
+    (``n_dropped_pairs == 0``); areas beyond the cap are counted into
+    ``n_dropped_pairs``.
     """
     mx = jax.lax.stop_gradient(prep.mx)
     my = jax.lax.stop_gradient(prep.my)
@@ -184,12 +195,17 @@ def bin_gaussians(
             key_parts.append(
                 jnp.broadcast_to(sub[None, :], tid.shape).reshape(-1))
 
-    if tiers:
+    if visible_cap:
+        visible_cap = min(max(int(visible_cap),
+                              tiers[0][0] if tiers else 1), N)
+        if visible_cap == N:
+            visible_cap = 0  # cap covers everything: plain dense pass
+    if tiers or visible_cap:
         # One ranking by area serves every tier: rank r belongs to the
         # NARROWEST tier whose count covers it (counts are distinct and
         # descending; caps ascending).
         ranked = jnp.argsort(-area, stable=True).astype(jnp.int32)
-        c_widest = tiers[0][0]
+        c_widest = tiers[0][0] if tiers else 0
         bounds = [c for c, _ in tiers] + [0]
         for t, (count, cap) in enumerate(tiers):
             lo, hi = bounds[t + 1], count  # ranks [lo, hi) use this cap
@@ -205,7 +221,30 @@ def bin_gaussians(
             add_part(tid_t, sl, subkey.at[sl].get(mode="promise_in_bounds"))
             n_dropped = n_dropped + jnp.sum(
                 jnp.maximum(area_t - cap, 0)).astype(jnp.int32)
-        if c_widest < N:
+        if visible_cap:
+            # Compacted main pass: only ranks [c_widest, visible_cap)
+            # expand (one gather of visible_cap rows instead of a dense
+            # [D, N] expansion over mostly zero-area Gaussians).
+            sl = ranked[c_widest:visible_cap]
+            area_t = area.at[sl].get(mode="promise_in_bounds")
+            tid_t, _ = _expand_pairs(
+                x_min.at[sl].get(mode="promise_in_bounds"),
+                y_min.at[sl].get(mode="promise_in_bounds"),
+                rect_w.at[sl].get(mode="promise_in_bounds"),
+                area_t,
+                valid.at[sl].get(mode="promise_in_bounds"),
+                n_tx, num_tiles, D)
+            add_part(tid_t, sl, subkey.at[sl].get(mode="promise_in_bounds"))
+            n_dropped = n_dropped + jnp.sum(
+                jnp.maximum(area_t - D, 0)).astype(jnp.int32)
+            # ranks past the cap never expand: exact drop accounting as
+            # total area minus the expanded head (zero exactly when the
+            # cap covers every nonzero-area Gaussian)
+            head = jnp.sum(area.at[ranked[:visible_cap]].get(
+                mode="promise_in_bounds"))
+            n_dropped = n_dropped + (jnp.sum(area) - head).astype(jnp.int32)
+            area_main = None
+        elif c_widest < N:
             # Main pass over the un-tiered remainder.  Membership without
             # a scatter: area strictly above the c_widest-th ranked area
             # is tiered; exactly (c_widest - #above) of the THRESHOLD-tied

@@ -14,6 +14,20 @@ k-loop indexes whole pages and never needs an unaligned lane slice.
 Rows: 0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6..8 rgb
 (9..15 spare).  Gradients are returned in the same layout.
 
+Square spatial tiles on rectangular vregs: the per-pixel state is held in
+(8, 128) f32 vregs (the VPU shape), but the SPATIAL tile it represents is
+(tile_h, tile_w) with tile_h * tile_w == 1024 — e.g. the default 32x32 —
+via the strip mapping  px = x0 + lane % TW,  py = y0 + 8*(lane // TW) +
+sublane  (``strips = 128 // TW`` horizontal strips of 8 rows stacked on
+the lane axis).  Every slot instruction still blends 1024 pixels, but a
+square tile covers ~1.4x fewer tiles per (near-isotropic) Gaussian than
+the naive 8x128 vreg-shaped tile, cutting the pair count through binning,
+gather and both blend passes by the same factor (the reference uses 16x16
+tiles for the same reason, config.h:15).  ``strips == 1`` reproduces the
+plain vreg-shaped layout exactly.  Kernel outputs/cotangents cross the
+wrapper in vreg layout and are (de)remapped there — three cheap XLA
+transposes per call, never inside the kernel.
+
 Within a chunk, slots are processed in groups of ``SUB`` (static lane
 slices): the expensive math (exp, conic quadratic) is vectorized over
 (SUB, TH, TW); only the cheap transmittance recurrence runs sequentially.
@@ -48,6 +62,54 @@ ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OP, ROW_CR, ROW_CG, ROW_CB2 = range(
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _strips(tile_h: int, tile_w: int) -> int:
+    """Horizontal 8-row strips stacked on the lane axis (1 = plain layout)."""
+    if tile_w < 128 and 128 % tile_w == 0 and tile_h == 8 * (128 // tile_w):
+        return 128 // tile_w
+    return 1
+
+
+def _vreg_shape(consts: BlendConsts):
+    s = _strips(consts.tile_h, consts.tile_w)
+    return (8, 128) if s > 1 else (consts.tile_h, consts.tile_w)
+
+
+def _vreg_to_spatial(x: jnp.ndarray, consts: BlendConsts) -> jnp.ndarray:
+    """[..., 8, 128] vreg layout -> [..., TH, TW] spatial tile."""
+    s = _strips(consts.tile_h, consts.tile_w)
+    if s == 1:
+        return x
+    lead = x.shape[:-2]
+    x = x.reshape(*lead, 8, s, consts.tile_w)
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(*lead, consts.tile_h, consts.tile_w)
+
+
+def _spatial_to_vreg(x: jnp.ndarray, consts: BlendConsts) -> jnp.ndarray:
+    """[..., TH, TW] spatial tile -> [..., 8, 128] vreg layout."""
+    s = _strips(consts.tile_h, consts.tile_w)
+    if s == 1:
+        return x
+    lead = x.shape[:-2]
+    x = x.reshape(*lead, s, 8, consts.tile_w)
+    x = jnp.moveaxis(x, -3, -2)
+    return x.reshape(*lead, 8, 128)
+
+
+def _pixel_iotas(consts: BlendConsts, x0, y0):
+    """Spatial pixel coordinate planes in vreg layout, f32 (VS, VL)."""
+    VS, VL = _vreg_shape(consts)
+    s = _strips(consts.tile_h, consts.tile_w)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (VS, VL), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (VS, VL), 0)
+    if s == 1:
+        px_i, py_i = lane, sub
+    else:
+        px_i = lane % consts.tile_w
+        py_i = 8 * (lane // consts.tile_w) + sub
+    return x0 + px_i.astype(jnp.float32), y0 + py_i.astype(jnp.float32)
 
 
 def pack_attrs(mean2d_g, conic_g, color_g, opacity_g, page=None) -> jnp.ndarray:
@@ -110,14 +172,14 @@ def _fwd_kernel(consts: BlendConsts, n_tx: int,
                 nc_ref,  # VMEM [1, TH, TW] int32
                 ):
     TH, TW = consts.tile_h, consts.tile_w
+    VS, VL = _vreg_shape(consts)
     CHUNK = attrs_ref.shape[3]
     pid = pl.program_id(0)
     count = counts_ref[pid]
 
     x0 = ((pid % n_tx) * TW).astype(jnp.float32)
     y0 = ((pid // n_tx) * TH).astype(jnp.float32)
-    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
-    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
+    px, py = _pixel_iotas(consts, x0, y0)
 
     def chunk_body(state):
         ci, T_acc, C_r, C_g, C_b, nc, done = state
@@ -145,13 +207,13 @@ def _fwd_kernel(consts: BlendConsts, n_tx: int,
         done = state[6]
         return (ci * CHUNK < count) & (jnp.min(done) == 0.0)
 
-    zero = jnp.zeros((TH, TW), dtype=jnp.float32)
+    zero = jnp.zeros((VS, VL), dtype=jnp.float32)
     init = (
         jnp.int32(0),
-        jnp.ones((TH, TW), dtype=jnp.float32),
+        jnp.ones((VS, VL), dtype=jnp.float32),
         zero, zero, zero,
-        jnp.zeros((TH, TW), dtype=jnp.int32),
-        jnp.zeros((TH, TW), dtype=jnp.float32),
+        jnp.zeros((VS, VL), dtype=jnp.int32),
+        jnp.zeros((VS, VL), dtype=jnp.float32),
     )
     _, T_acc, C_r, C_g, C_b, nc, _ = jax.lax.while_loop(
         chunk_cond, chunk_body, init
@@ -170,9 +232,9 @@ def blend_tiles_pallas_fwd(
     counts: jnp.ndarray,  # [T] int32
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (C [T,3,TH,TW] — WITHOUT background, final_T [T,TH,TW],
-    n_contrib [T,TH,TW] int32)."""
+    n_contrib [T,TH,TW] int32), spatial layout."""
     T_tiles, NC, _, CHUNK = attrs.shape
-    TH, TW = consts.tile_h, consts.tile_w
+    VS, VL = _vreg_shape(consts)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -181,15 +243,15 @@ def blend_tiles_pallas_fwd(
             pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, TH, TW), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 3, VS, VL), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, VS, VL), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, VS, VL), lambda i, *_: (i, 0, 0)),
         ],
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((T_tiles, 3, TH, TW), jnp.float32),
-        jax.ShapeDtypeStruct((T_tiles, TH, TW), jnp.float32),
-        jax.ShapeDtypeStruct((T_tiles, TH, TW), jnp.int32),
+        jax.ShapeDtypeStruct((T_tiles, 3, VS, VL), jnp.float32),
+        jax.ShapeDtypeStruct((T_tiles, VS, VL), jnp.float32),
+        jax.ShapeDtypeStruct((T_tiles, VS, VL), jnp.int32),
     ]
     fn = pl.pallas_call(
         functools.partial(_fwd_kernel, consts, n_tx),
@@ -197,7 +259,9 @@ def blend_tiles_pallas_fwd(
         out_shape=out_shapes,
         interpret=_use_interpret(),
     )
-    return fn(counts, attrs)
+    C, final_T, n_contrib = fn(counts, attrs)
+    return (_vreg_to_spatial(C, consts), _vreg_to_spatial(final_T, consts),
+            _vreg_to_spatial(n_contrib, consts))
 
 
 def _bwd_kernel(consts: BlendConsts, n_tx: int,
@@ -211,6 +275,8 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
                 scratch_ref,  # VMEM [6, CHUNK, TW] partial-sum scratch
                 ):
     TH, TW = consts.tile_h, consts.tile_w
+    VS, VL = _vreg_shape(consts)
+    strips = _strips(TH, TW)
     NC = attrs_ref.shape[1]
     CHUNK = attrs_ref.shape[3]
     pid = pl.program_id(0)
@@ -218,19 +284,29 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
 
     x0 = ((pid % n_tx) * TW).astype(jnp.float32)
     y0 = ((pid // n_tx) * TH).astype(jnp.float32)
-    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
-    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
+    px, py = _pixel_iotas(consts, x0, y0)
     # tile-CENTERED pixel coords for the moment basis: px can reach the
     # sensor width, and centered moments minimize the recombination
-    # cancellation (mx_l*m0 - m_px) in f32
-    pyl = (jax.lax.broadcasted_iota(jnp.int32, (TH, 1), 0).astype(
-        jnp.float32) - (TH - 1) / 2.0)
-    pxl_row = (jax.lax.broadcasted_iota(
-        jnp.int32, (1, TW), 1).astype(jnp.float32) - (TW - 1) / 2.0)
+    # cancellation (mx_l*m0 - m_px) in f32.  With the strip mapping the
+    # centered py decomposes as  py_c = qc + sc  with  sc = sublane - 3.5
+    # (per-sublane) and  qc = 8*(lane // TW) - (TH - 8)/2  (per-lane), so
+    # sublane reductions of v * {1, sc, sc^2} plus lane contractions with
+    # {1, pxl, qc, ...} recover every <= degree-2 pixel moment.
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (VS, 1), 0).astype(
+        jnp.float32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, VL), 1)
+    if strips == 1:
+        sc = sub_i - (TH - 1) / 2.0
+        pxl_row = lane_i.astype(jnp.float32) - (TW - 1) / 2.0
+        qc_row = None
+    else:
+        sc = sub_i - 3.5
+        pxl_row = (lane_i % TW).astype(jnp.float32) - (TW - 1) / 2.0
+        qc_row = (8 * (lane_i // TW)).astype(jnp.float32) - (TH - 8) / 2.0
     # lane-contraction basis {1, pxl, pxl^2} for the per-chunk moment
-    # matmuls (dn contracts the TW lane axis of both operands)
+    # matmuls (dn contracts the lane axis of both operands)
     bx = jnp.concatenate(
-        [jnp.ones((1, TW), jnp.float32), pxl_row, pxl_row * pxl_row], axis=0)
+        [jnp.ones((1, VL), jnp.float32), pxl_row, pxl_row * pxl_row], axis=0)
     dn = (((1,), (1,)), ((), ()))
 
     g_r = gout_ref[0, 0]
@@ -282,34 +358,34 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
             lc_g = jnp.where(ok, cg_j, lc_g)
             lc_b = jnp.where(ok, cb_j, lc_b)
 
-            # Store only SIX sublane-reduced (1, TW) rows per slot; the
+            # Store only SIX sublane-reduced (1, VL) rows per slot; the
             # six geometric gradients are recovered per chunk from pixel
             # MOMENTS of v = G*dL_dalpha (an MXU lane contraction with
-            # {1, pxl, pxl^2}) instead of nine per-slot field reductions
-            # — all d_* fields are op * v * poly(dx, dy) with dx = mx-px.
+            # {1, pxl, qc, pxl^2, ...}) instead of nine per-slot field
+            # reductions — all d_* fields are op * v * poly(dx, dy).
             def _put(row, field, _j=j):
                 scratch_ref[row, _j: _j + 1, :] = jnp.sum(
                     field, axis=0, keepdims=True)
 
             v = G * dL_dalpha
-            vy = v * pyl
+            vy = v * sc
             _put(0, v)
             _put(1, vy)
-            _put(2, vy * pyl)
+            _put(2, vy * sc)
             _put(3, w_pix * g_r)
             _put(4, w_pix * g_g)
             _put(5, w_pix * g_b)
 
-        # per-chunk moment matmuls: [3, TW] x [CHUNK, TW] -> [3, CHUNK]
+        # per-chunk moment matmuls: [3, VL] x [CHUNK, VL] -> [3, CHUNK]
         # (HIGHEST precision: pxl^2 reaches TW^2 — a demoted bf16 pass
         # would lose the recombination below to cancellation)
         hi = jax.lax.Precision.HIGHEST
         m_v = jax.lax.dot_general(bx, scratch_ref[0], dn,
                                   precision=hi)  # rows: m0, m_px, m_pxx
         m_y = jax.lax.dot_general(bx[0:2], scratch_ref[1], dn,
-                                  precision=hi)  # rows: m_py, m_pxy
+                                  precision=hi)  # rows: <1,r1>, <pxl,r1>
         m_yy = jax.lax.dot_general(bx[0:1], scratch_ref[2], dn,
-                                   precision=hi)  # row: m_pyy
+                                   precision=hi)  # row: <1,r2>
         ones_row = bx[0:1]
         d_col = jnp.concatenate([
             jax.lax.dot_general(ones_row, scratch_ref[3], dn, precision=hi),
@@ -320,9 +396,21 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
         m0 = m_v[0:1]
         m_px = m_v[1:2]
         m_pxx = m_v[2:3]
-        m_py = m_y[0:1]
-        m_pxy = m_y[1:2]
-        m_pyy = m_yy[0:1]
+        if strips == 1:  # py_c == sc: r1/r2 rows are the py moments
+            m_py = m_y[0:1]
+            m_pxy = m_y[1:2]
+            m_pyy = m_yy[0:1]
+        else:  # py_c = qc + sc: add the per-lane strip offset terms
+            bq = jnp.concatenate(
+                [qc_row, pxl_row * qc_row, qc_row * qc_row], axis=0)
+            m_q = jax.lax.dot_general(
+                bq, scratch_ref[0], dn,
+                precision=hi)  # rows: <qc,r0>, <pxl*qc,r0>, <qc^2,r0>
+            m_yq = jax.lax.dot_general(qc_row, scratch_ref[1], dn,
+                                       precision=hi)  # row: <qc,r1>
+            m_py = m_q[0:1] + m_y[0:1]
+            m_pxy = m_q[1:2] + m_y[1:2]
+            m_pyy = m_q[2:3] + 2.0 * m_yq[0:1] + m_yy[0:1]
         mxl = attrs[ROW_MX:ROW_MX + 1] - (x0 + (TW - 1) / 2.0)
         myl = attrs[ROW_MY:ROW_MY + 1] - (y0 + (TH - 1) / 2.0)
         ca_r = attrs[ROW_CA:ROW_CA + 1]
@@ -349,7 +437,7 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
     def chunk_cond(state):
         return state[0] >= 0
 
-    zero = jnp.zeros((TH, TW), dtype=jnp.float32)
+    zero = jnp.zeros((VS, VL), dtype=jnp.float32)
     init = (n_chunks - 1, final_T, zero, zero, zero, zero, zero, zero, zero)
     jax.lax.while_loop(chunk_cond, chunk_body, init)
 
@@ -364,24 +452,30 @@ def blend_tiles_pallas_bwd(
     final_T: jnp.ndarray,  # [T, TH, TW]
     n_contrib: jnp.ndarray,  # [T, TH, TW] int32
 ) -> jnp.ndarray:
-    """Returns packed grads [T, NC, 16, 128]."""
+    """Returns packed grads [T, NC, 16, 128].  Pixel-plane inputs (g_out,
+    bg_dot_g, final_T, n_contrib) are SPATIAL [.., TH, TW] — remapped to
+    the kernel's vreg layout here."""
     T_tiles, NC, _, CHUNK = attrs.shape
-    TH, TW = consts.tile_h, consts.tile_w
+    VS, VL = _vreg_shape(consts)
+    g_out = _spatial_to_vreg(g_out, consts)
+    bg_dot_g = _spatial_to_vreg(bg_dot_g, consts)
+    final_T = _spatial_to_vreg(final_T, consts)
+    n_contrib = _spatial_to_vreg(n_contrib, consts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T_tiles,),
         in_specs=[
             pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 3, TH, TW), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, TH, TW), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 3, VS, VL), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, VS, VL), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, VS, VL), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, VS, VL), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((6, CHUNK, consts.tile_w), jnp.float32),
+            pltpu.VMEM((6, CHUNK, VL), jnp.float32),
         ],
     )
     fn = pl.pallas_call(

@@ -297,6 +297,41 @@ class TestTieredBinning:
         np.testing.assert_array_equal(np.asarray(got.gauss_index),
                                       np.asarray(ref.gauss_index))
 
+    def test_visible_cap_matches_dense_expansion(self):
+        """visible_cap covering every nonzero-area Gaussian must be exact
+        (identical TileBins to the dense main pass), with or without
+        tiers, and must count drops when it is too small."""
+        from gaussiancity_tpu.ops.rasterizer import binning
+
+        prep, cam = self._prep(0)
+        H, W = cam.img_h, cam.img_w
+        n_vis = int(np.count_nonzero(np.asarray(binning.compute_rects_c(
+            prep.mx, prep.my, prep.radius, prep.valid, H, W, 8, 128)[4])))
+        ref = binning.bin_gaussians(
+            prep, H, W, 8, 128, max_tiles_per_gaussian=3,
+            tile_capacity=512, tiers=((256, 6), (64, 10), (16, 0)))
+        for tiers in (((256, 6), (64, 10), (16, 0)), ()):
+            got = binning.bin_gaussians(
+                prep, H, W, 8, 128, max_tiles_per_gaussian=3,
+                tile_capacity=512, tiers=tiers, visible_cap=n_vis + 3)
+            if tiers:
+                assert (int(got.n_dropped_pairs)
+                        == int(ref.n_dropped_pairs))
+                np.testing.assert_array_equal(np.asarray(got.counts),
+                                              np.asarray(ref.counts))
+                np.testing.assert_array_equal(np.asarray(got.gauss_index),
+                                              np.asarray(ref.gauss_index))
+        # a cap below the visible count must report the dropped areas
+        small = binning.bin_gaussians(
+            prep, H, W, 8, 128, max_tiles_per_gaussian=3,
+            tile_capacity=512, visible_cap=max(n_vis // 2, 1))
+        dense = binning.bin_gaussians(
+            prep, H, W, 8, 128, max_tiles_per_gaussian=3,
+            tile_capacity=512)
+        assert (int(small.n_dropped_pairs) > int(dense.n_dropped_pairs))
+        assert (int(small.n_dropped_pairs) - int(dense.n_dropped_pairs)
+                == int(dense.counts.sum()) - int(small.counts.sum()))
+
     def test_tier_overflow_is_counted(self):
         from gaussiancity_tpu.ops.rasterizer import binning
 
