@@ -215,6 +215,15 @@ class RasterizerConfig(_Base):
     # nonzero-area Gaussian; overflow is counted in n_dropped_pairs.
     # 0 = every Gaussian expands.
     visible_cap: int = 0
+    # Reference 16x16-block gating: the CUDA reference only lets a
+    # Gaussian touch pixels whose 16x16 block (config.h:15 BLOCK_X/Y)
+    # lies inside its getRect() bbox, so fringe pixels with alpha >=
+    # 1/255 just outside the bbox are gated by the block grid.  With
+    # this on, the render applies exactly that test per (pixel, slot) —
+    # making the output independent of this repo's own tile shape and
+    # bit-comparable to the reference renderer — at ~a few extra vector
+    # ops per blended pair.
+    ref_tile16_gate: bool = True
     # Chunk size of the k-loop in the blend kernels.
     chunk: int = 8
     backend: str = "auto"  # "pallas" | "xla" | "auto"

@@ -93,15 +93,21 @@ def rasterize(
         scale_modifier=scale_modifier, near_z=cfg.near_z,
     )
     img_h, img_w = cam.img_h, cam.img_w
+    origin_f = jnp.zeros((2,), jnp.float32)
+    bin_prep = prep
     if window is not None:
+        # binning sees window-local means (crop tile grid); the blend
+        # keeps SENSOR coordinates and shifts its pixel origins instead,
+        # so dx/dy — and the 16x16 ref-gate blocks — are bitwise equal to
+        # the full-sensor render's.
         x0, y0, wc, hc = window
-        prep = prep._replace(
-            mx=prep.mx - jnp.asarray(x0).astype(prep.mx.dtype),
-            my=prep.my - jnp.asarray(y0).astype(prep.my.dtype),
-        )
+        wx0 = jnp.asarray(x0).astype(jnp.float32)
+        wy0 = jnp.asarray(y0).astype(jnp.float32)
+        origin_f = jnp.stack([wx0, wy0])
+        bin_prep = prep._replace(mx=prep.mx - wx0, my=prep.my - wy0)
         img_w, img_h = int(wc), int(hc)
     bins = binning.bin_gaussians(
-        prep,
+        bin_prep,
         img_h,
         img_w,
         tile_h=cfg.tile_h,
@@ -110,6 +116,8 @@ def rasterize(
         tile_capacity=cfg.tile_capacity,
         tiers=cfg.bin_tiers,
         visible_cap=cfg.visible_cap,
+        gate16=cfg.ref_tile16_gate,
+        gate_origin=origin_f if window is not None else None,
     )
 
     n_ty, n_tx = binning.tile_grid(img_h, img_w, cfg.tile_h, cfg.tile_w)
@@ -125,6 +133,7 @@ def rasterize(
         unroll=cfg.chunk,
         backend=backend,
         n_tx=n_tx,
+        ref_gate=cfg.ref_tile16_gate,
     )
     idx = bins.gauss_index  # [T, K]
     n_grad_truncated = jnp.zeros((), jnp.int32)
@@ -143,16 +152,23 @@ def rasterize(
         assert N < 2 ** 24, "idx rides the custom VJP as exact f32"
         tiles_out, tiles_T, n_grad_truncated = blend.blend_gathered(
             consts, cfg.grad_capacity, cfg.grad_budget, page, attrs,
-            idx.astype(jnp.float32), bins.counts.astype(jnp.float32), bg)
+            idx.astype(jnp.float32), bins.counts.astype(jnp.float32),
+            origin_f, bg)
     else:
         mean2d_g = prep.mean2d[idx]
         conic_g = prep.conic[idx]
         color_g = prep.color[idx]
         opacity_g = prep.opacity[idx]
-        kvalid = bins.kmask.astype(jnp.float32)
+        if cfg.ref_tile16_gate:
+            # kvalid carries radius-or-0 for the 16x16 ref gate
+            # (BlendConsts.ref_gate doc)
+            kvalid = jnp.where(bins.kmask, prep.radius[idx], 0
+                               ).astype(jnp.float32)
+        else:
+            kvalid = bins.kmask.astype(jnp.float32)
         tid = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
-        x0f = ((tid % n_tx) * cfg.tile_w).astype(jnp.float32)
-        y0f = ((tid // n_tx) * cfg.tile_h).astype(jnp.float32)
+        x0f = ((tid % n_tx) * cfg.tile_w).astype(jnp.float32) + origin_f[0]
+        y0f = ((tid // n_tx) * cfg.tile_h).astype(jnp.float32) + origin_f[1]
         tiles_out, tiles_T = blend.blend_tiles(
             consts, mean2d_g, conic_g, color_g, opacity_g, kvalid, x0f, y0f,
             bg)

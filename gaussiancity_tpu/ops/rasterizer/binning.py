@@ -55,16 +55,49 @@ def tile_grid(img_h: int, img_w: int, tile_h: int, tile_w: int):
     return n_ty, n_tx
 
 
-def compute_rects_c(mx, my, radius, valid, img_h, img_w, tile_h, tile_w):
-    """Component-vector tile rects (reference: auxiliary.h:36-46 getRect)."""
+def compute_rects_c(mx, my, radius, valid, img_h, img_w, tile_h, tile_w,
+                    gate16=False, gate_origin=None):
+    """Component-vector tile rects (reference: auxiliary.h:36-46 getRect).
+
+    ``gate16``: cover the SENSOR-16x16-block-aligned bbox instead of the
+    raw pixel bbox.  The blend kernels' reference gate lets a Gaussian
+    touch every pixel whose sensor 16x16 block intersects its bbox — a
+    block can straddle two compute tiles whenever tile_h/tile_w is not a
+    multiple of 16 or the render window origin (``gate_origin``, sensor
+    coords of local pixel 0) is not 16-aligned, so binning must expand
+    to the block cover or gated fringe pixels lose contributions.  For
+    16-multiple tiles at origin 0 this is identical to the raw rect.
+    """
     n_ty, n_tx = tile_grid(img_h, img_w, tile_h, tile_w)
     r = radius.astype(mx.dtype)
-    x_min = jnp.clip(jnp.floor((mx - r) / tile_w), 0, n_tx).astype(jnp.int32)
-    y_min = jnp.clip(jnp.floor((my - r) / tile_h), 0, n_ty).astype(jnp.int32)
-    x_max = jnp.clip(jnp.floor((mx + r + tile_w - 1) / tile_w), 0,
-                     n_tx).astype(jnp.int32)
-    y_max = jnp.clip(jnp.floor((my + r + tile_h - 1) / tile_h), 0,
-                     n_ty).astype(jnp.int32)
+    lo_x, hi_ex = mx - r, mx + r  # hi exclusive extent handled below
+    lo_y, hi_ey = my - r, my + r
+    if gate16:
+        ox = (gate_origin[0] if gate_origin is not None
+              else jnp.float32(0.0))
+        oy = (gate_origin[1] if gate_origin is not None
+              else jnp.float32(0.0))
+        # 16-block index span in sensor coords (getRect at BLOCK=16),
+        # back to local pixel bounds [gx_lo*16, gx_hi*16)
+        lo_x = jnp.floor((mx + ox - r) * 0.0625) * 16.0 - ox
+        hi_x = jnp.floor((mx + ox + r + 15.0) * 0.0625) * 16.0 - ox
+        lo_y = jnp.floor((my + oy - r) * 0.0625) * 16.0 - oy
+        hi_y = jnp.floor((my + oy + r + 15.0) * 0.0625) * 16.0 - oy
+        x_min = jnp.clip(jnp.floor(lo_x / tile_w), 0, n_tx).astype(jnp.int32)
+        y_min = jnp.clip(jnp.floor(lo_y / tile_h), 0, n_ty).astype(jnp.int32)
+        x_max = jnp.clip(jnp.floor((hi_x + tile_w - 1) / tile_w), 0,
+                         n_tx).astype(jnp.int32)
+        y_max = jnp.clip(jnp.floor((hi_y + tile_h - 1) / tile_h), 0,
+                         n_ty).astype(jnp.int32)
+    else:
+        x_min = jnp.clip(jnp.floor(lo_x / tile_w), 0,
+                         n_tx).astype(jnp.int32)
+        y_min = jnp.clip(jnp.floor(lo_y / tile_h), 0,
+                         n_ty).astype(jnp.int32)
+        x_max = jnp.clip(jnp.floor((hi_ex + tile_w - 1) / tile_w), 0,
+                         n_tx).astype(jnp.int32)
+        y_max = jnp.clip(jnp.floor((hi_ey + tile_h - 1) / tile_h), 0,
+                         n_ty).astype(jnp.int32)
     area = (x_max - x_min) * (y_max - y_min)
     valid = valid & (area > 0)
     return x_min, y_min, x_max, y_max, jnp.where(valid, area, 0), valid
@@ -121,6 +154,8 @@ def bin_gaussians(
     tile_capacity: int = 1024,
     tiers=(),
     visible_cap: int = 0,
+    gate16: bool = False,
+    gate_origin=None,
 ) -> TileBins:
     """Build fixed-capacity per-tile Gaussian lists, front-to-back.
 
@@ -151,7 +186,8 @@ def bin_gaussians(
     K = tile_capacity
 
     x_min, y_min, x_max, y_max, area, valid = compute_rects_c(
-        mx, my, prep.radius, prep.valid, img_h, img_w, tile_h, tile_w)
+        mx, my, prep.radius, prep.valid, img_h, img_w, tile_h, tile_w,
+        gate16=gate16, gate_origin=gate_origin)
     rect_w = x_max - x_min
 
     # Sort-key construction: pack (tile, depth-rank) into ONE int32.  The

@@ -43,6 +43,23 @@ class BlendConsts(NamedTuple):
     unroll: int = 8
     backend: str = "xla"  # "xla" | "pallas"
     n_tx: int = 1  # tiles per row (pallas backend derives origins from it)
+    # Reference 16x16-block gating (config.h:15 BLOCK_X/Y): a Gaussian
+    # touches a pixel only if the pixel's 16x16 block lies in its
+    # getRect() bbox.  Makes the render bit-comparable to the reference
+    # CUDA renderer and independent of this repo's own tile shape.  The
+    # XLA path reads the radius from ``kvalid`` (which then carries
+    # radius-or-0 instead of 1-or-0); the Pallas path from attrs row 9.
+    ref_gate: bool = False
+
+
+def _rect16_gate(m2d, radius, bx16, by16):
+    """Reference 16x16-block rect membership (auxiliary.h:36-46 getRect):
+    [T, TH, TW] bool from per-slot mean/radius and pixel-block planes."""
+    xlo = jnp.floor((m2d[:, 0] - radius) * 0.0625)[:, None, None]
+    xhi = jnp.floor((m2d[:, 0] + radius + 15.0) * 0.0625)[:, None, None]
+    ylo = jnp.floor((m2d[:, 1] - radius) * 0.0625)[:, None, None]
+    yhi = jnp.floor((m2d[:, 1] + radius + 15.0) * 0.0625)[:, None, None]
+    return ((bx16 >= xlo) & (bx16 < xhi) & (by16 >= ylo) & (by16 < yhi))
 
 
 def _pixel_grids(consts: BlendConsts, x0f: jnp.ndarray, y0f: jnp.ndarray):
@@ -73,6 +90,8 @@ def _blend_fwd_impl(
     T_tiles, K = kvalid.shape
     TH, TW = consts.tile_h, consts.tile_w
     px, py = _pixel_grids(consts, x0f, y0f)
+    bx16 = jnp.floor(px * 0.0625) if consts.ref_gate else None
+    by16 = jnp.floor(py * 0.0625) if consts.ref_gate else None
 
     xs = (
         _to_k_major(mean2d_g),
@@ -95,6 +114,8 @@ def _blend_fwd_impl(
             consts.alpha_max, op[:, None, None] * jnp.exp(power)
         )
         eligible = (kv > 0)[:, None, None] & (power <= 0.0) & (alpha >= consts.alpha_min)
+        if consts.ref_gate:  # kv carries the radius (blend_pallas doc)
+            eligible &= _rect16_gate(m2d, kv, bx16, by16)
         test_T = T_acc * (1.0 - alpha)
         live = eligible & jnp.logical_not(done)
         blend = live & (test_T >= consts.t_eps)
@@ -134,6 +155,8 @@ def _blend_bwd_impl(
 ):
     T_tiles, K = kvalid.shape
     px, py = _pixel_grids(consts, x0f, y0f)
+    bx16 = jnp.floor(px * 0.0625) if consts.ref_gate else None
+    by16 = jnp.floor(py * 0.0625) if consts.ref_gate else None
 
     # dL/dbg = sum_pix T_final * g  (out = C + T_final * bg)
     d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
@@ -166,6 +189,8 @@ def _blend_bwd_impl(
             & (power <= 0.0)
             & (alpha >= consts.alpha_min)
         )
+        if consts.ref_gate:
+            ok &= _rect16_gate(m2d, kv, bx16, by16)
         okf = ok.astype(jnp.float32)
         one_m_alpha = jnp.where(ok, 1.0 - alpha, 1.0)
         T_cur = T_cur / one_m_alpha  # T before blending this slot
@@ -289,40 +314,43 @@ def blend_tiles_packed(
     consts: BlendConsts,
     attrs_paged: jnp.ndarray,  # [T, NC, 16, page]
     counts_f: jnp.ndarray,  # [T] float32 (int semantics)
+    origin_f: jnp.ndarray,  # [2] float32 (wx0, wy0) window pixel origin
     bg: jnp.ndarray,  # [3]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out [T, TH, TW, 3] incl. background, final_T [T, TH, TW])."""
-    out, final_T, _ = _packed_fwd(consts, attrs_paged, counts_f, bg)
+    out, final_T, _ = _packed_fwd(consts, attrs_paged, counts_f, origin_f, bg)
     return out, final_T
 
 
-def _packed_fwd(consts, attrs_paged, counts_f, bg):
+def _packed_fwd(consts, attrs_paged, counts_f, origin_f, bg):
     from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
     counts = counts_f.astype(jnp.int32)
     C, final_T, n_contrib = blend_pallas.blend_tiles_pallas_fwd(
-        consts, consts.n_tx, attrs_paged, counts)
+        consts, consts.n_tx, attrs_paged, counts, origin_f)
     out = jnp.moveaxis(C, 1, -1) + final_T[..., None] * bg[None, None, None, :]
     return out, final_T, n_contrib
 
 
-def _packed_fwd_rule(consts, attrs_paged, counts_f, bg):
-    out, final_T, n_contrib = _packed_fwd(consts, attrs_paged, counts_f, bg)
-    return (out, final_T), (attrs_paged, counts_f, bg, final_T, n_contrib)
+def _packed_fwd_rule(consts, attrs_paged, counts_f, origin_f, bg):
+    out, final_T, n_contrib = _packed_fwd(consts, attrs_paged, counts_f,
+                                          origin_f, bg)
+    return (out, final_T), (attrs_paged, counts_f, origin_f, bg, final_T,
+                            n_contrib)
 
 
 def _packed_bwd_rule(consts, res, cts):
     from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
-    attrs_paged, counts_f, bg, final_T, n_contrib = res
+    attrs_paged, counts_f, origin_f, bg, final_T, n_contrib = res
     g_out, g_T = cts
     counts = counts_f.astype(jnp.int32)
     d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
     bg_dot_g = jnp.einsum("c,thwc->thw", bg, g_out) + g_T
     grads = blend_pallas.blend_tiles_pallas_bwd(
         consts, consts.n_tx, attrs_paged, counts,
-        jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib)
-    return (grads, jnp.zeros_like(counts_f), d_bg)
+        jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib, origin_f)
+    return (grads, jnp.zeros_like(counts_f), jnp.zeros_like(origin_f), d_bg)
 
 
 blend_tiles_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
@@ -362,12 +390,13 @@ def blend_gathered(
     attrs16: jnp.ndarray,  # [N, 16] packed per-Gaussian attributes
     idx_f: jnp.ndarray,  # [T, K] float32 (int semantics, < 2^24)
     counts_f: jnp.ndarray,  # [T] float32 (int semantics)
+    origin_f: jnp.ndarray,  # [2] float32 (wx0, wy0) window pixel origin
     bg: jnp.ndarray,  # [3]
 ):
     """Returns (out [T, TH, TW, 3] incl. background, final_T [T, TH, TW],
     n_grad_truncated scalar int32)."""
     out, final_T, n_contrib, attrs_paged = _gathered_fwd(
-        consts, attrs16, idx_f, counts_f, bg, page)
+        consts, attrs16, idx_f, counts_f, origin_f, bg, page)
     return out, final_T, _grad_trunc_count(
         counts_f, n_contrib, grad_capacity, grad_budget, idx_f.shape[1],
         attrs_paged.shape[3])
@@ -402,7 +431,7 @@ def _grad_trunc_count(counts_f, n_contrib, grad_capacity, grad_budget, K,
     return trunc.astype(jnp.int32)
 
 
-def _gathered_fwd(consts, attrs16, idx_f, counts_f, bg, page):
+def _gathered_fwd(consts, attrs16, idx_f, counts_f, origin_f, bg, page):
     from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
     page = page or blend_pallas.default_page()
@@ -410,34 +439,35 @@ def _gathered_fwd(consts, attrs16, idx_f, counts_f, bg, page):
     attrs_paged = _gather_pack(attrs16, idx, page)
     counts = counts_f.astype(jnp.int32)
     C, final_T, n_contrib = blend_pallas.blend_tiles_pallas_fwd(
-        consts, consts.n_tx, attrs_paged, counts)
+        consts, consts.n_tx, attrs_paged, counts, origin_f)
     out = jnp.moveaxis(C, 1, -1) + final_T[..., None] * bg[None, None, None, :]
     return out, final_T, n_contrib, attrs_paged
 
 
 def _gathered_fwd_rule(consts, grad_capacity, grad_budget, page, attrs16,
-                       idx_f, counts_f, bg):
+                       idx_f, counts_f, origin_f, bg):
     out, final_T, n_contrib, attrs_paged = _gathered_fwd(
-        consts, attrs16, idx_f, counts_f, bg, page)
+        consts, attrs16, idx_f, counts_f, origin_f, bg, page)
     n_trunc = _grad_trunc_count(counts_f, n_contrib, grad_capacity,
                                 grad_budget, idx_f.shape[1],
                                 attrs_paged.shape[3])
-    res = (attrs16.shape[0], attrs_paged, idx_f, counts_f, bg, final_T,
-           n_contrib)
+    res = (attrs16.shape[0], attrs_paged, idx_f, counts_f, origin_f, bg,
+           final_T, n_contrib)
     return (out, final_T, n_trunc), res
 
 
 def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
     from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
-    N, attrs_paged, idx_f, counts_f, bg, final_T, n_contrib = res
+    (N, attrs_paged, idx_f, counts_f, origin_f, bg, final_T,
+     n_contrib) = res
     g_out, g_T, _ = cts  # n_grad_truncated is a diagnostic int: no tangent
     counts = counts_f.astype(jnp.int32)
     d_bg = jnp.einsum("thw,thwc->c", final_T, g_out)
     bg_dot_g = jnp.einsum("c,thwc->thw", bg, g_out) + g_T
     grads = blend_pallas.blend_tiles_pallas_bwd(
         consts, consts.n_tx, attrs_paged, counts,
-        jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib)
+        jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib, origin_f)
     T_tiles, NC, R, page = grads.shape
     K = NC * page
     idx = idx_f.astype(jnp.int32)
@@ -486,7 +516,8 @@ def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
         d_attrs16 = jnp.zeros((N, R), jnp.float32).at[
             idx[:, : ncb * page].reshape(-1)].add(
             g_rows, mode="promise_in_bounds")
-    return (d_attrs16, jnp.zeros_like(idx_f), jnp.zeros_like(counts_f), d_bg)
+    return (d_attrs16, jnp.zeros_like(idx_f), jnp.zeros_like(counts_f),
+            jnp.zeros_like(origin_f), d_bg)
 
 
 blend_gathered.defvjp(_gathered_fwd_rule, _gathered_bwd_rule)

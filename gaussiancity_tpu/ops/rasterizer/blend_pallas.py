@@ -58,6 +58,7 @@ def default_page() -> int:
     # (CPU tests) uses small pages to keep the unrolled body compilable.
     return 128 if jax.default_backend() == "tpu" else 16
 ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OP, ROW_CR, ROW_CG, ROW_CB2 = range(9)
+ROW_RD = 9  # screen radius (int-valued f32) — feeds the 16x16 ref gate
 
 
 def _use_interpret() -> bool:
@@ -143,11 +144,19 @@ def unpack_grads(g: jnp.ndarray):
     return d_m2d, d_con, d_col, d_op
 
 
-def _slot_values(consts, attrs, j, k, count, px, py):
+def _slot_values(consts, attrs, j, k, count, px, py, gate=None):
     """Per-slot alpha/eligibility. ``attrs`` is the (16, CHUNK) chunk value;
-    ``j`` a static lane index. All per-pixel math on (TH, TW) vregs; slot
-    attributes are scalar lane extracts. Returns (alpha_e [TH,TW] with
-    ineligible pixels zeroed, G, dx, dy)."""
+    ``j`` a static lane index. All per-pixel math on (VS, VL) vregs; slot
+    attributes are scalar lane extracts. Returns (alpha_e [VS,VL] with
+    ineligible pixels zeroed, G, dx, dy).
+
+    ``gate`` = (bx16, by16) pixel-block planes enables the reference's
+    16x16-block rect test: the CUDA renderer only lets a Gaussian touch
+    pixels whose 16x16 block lies inside its getRect() bbox
+    (rasterizer_impl.cu:64-99 + auxiliary.h:36-46), so fringe pixels with
+    alpha >= 1/255 just OUTSIDE the bbox blend iff their block is inside.
+    Gating here makes the render bit-comparable to the reference (and
+    independent of this kernel's own tile shape)."""
     mx = attrs[ROW_MX, j]
     my = attrs[ROW_MY, j]
     ca = attrs[ROW_CA, j]
@@ -160,12 +169,25 @@ def _slot_values(consts, attrs, j, k, count, px, py):
     G = jnp.exp(power)
     alpha = jnp.minimum(consts.alpha_max, op * G)
     eligible = (k < count) & (power <= 0.0) & (alpha >= consts.alpha_min)
+    if gate is not None:
+        bx16, by16 = gate
+        rd = attrs[ROW_RD, j]
+        # getRect in f32: all quantities are exact small ints; /16 is an
+        # exact power-of-two scale, floor == the reference's (int) trunc
+        # wherever the bound can gate a pixel (bx16 >= 0).
+        xlo = jnp.floor((mx - rd) * 0.0625)
+        xhi = jnp.floor((mx + rd + 15.0) * 0.0625)
+        ylo = jnp.floor((my - rd) * 0.0625)
+        yhi = jnp.floor((my + rd + 15.0) * 0.0625)
+        eligible &= ((bx16 >= xlo) & (bx16 < xhi)
+                     & (by16 >= ylo) & (by16 < yhi))
     alpha_e = jnp.where(eligible, alpha, 0.0)
     return alpha_e, G, dx, dy
 
 
 def _fwd_kernel(consts: BlendConsts, n_tx: int,
                 counts_ref,  # scalar prefetch [T] int32
+                origin_ref,  # scalar prefetch [2] f32 window origin
                 attrs_ref,  # VMEM [1, NC, 16, 128]
                 out_ref,  # VMEM [1, 3, TH, TW]
                 t_ref,  # VMEM [1, TH, TW]
@@ -177,9 +199,13 @@ def _fwd_kernel(consts: BlendConsts, n_tx: int,
     pid = pl.program_id(0)
     count = counts_ref[pid]
 
-    x0 = ((pid % n_tx) * TW).astype(jnp.float32)
-    y0 = ((pid // n_tx) * TH).astype(jnp.float32)
+    # window renders shift the PIXEL origin (sensor coords), never the
+    # means — dx stays bitwise equal to the full-sensor render's
+    x0 = ((pid % n_tx) * TW).astype(jnp.float32) + origin_ref[0]
+    y0 = ((pid // n_tx) * TH).astype(jnp.float32) + origin_ref[1]
     px, py = _pixel_iotas(consts, x0, y0)
+    gate = ((jnp.floor(px * 0.0625), jnp.floor(py * 0.0625))
+            if consts.ref_gate else None)
 
     def chunk_body(state):
         ci, T_acc, C_r, C_g, C_b, nc, done = state
@@ -187,7 +213,8 @@ def _fwd_kernel(consts: BlendConsts, n_tx: int,
         k_base = ci * CHUNK
         for j in range(CHUNK):
             k = k_base + j
-            a_j, _, _, _ = _slot_values(consts, attrs, j, k, count, px, py)
+            a_j, _, _, _ = _slot_values(consts, attrs, j, k, count, px, py,
+                                        gate)
             test_T = T_acc * (1.0 - a_j)
             # ``done`` is carried as a f32 0/1 mask (Mosaic cannot yield i1
             # vectors from loops).
@@ -230,14 +257,17 @@ def blend_tiles_pallas_fwd(
     n_tx: int,
     attrs: jnp.ndarray,  # [T, NC, 16, 128] packed
     counts: jnp.ndarray,  # [T] int32
+    origin=None,  # [2] f32 (wx0, wy0) sensor origin of the render window
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (C [T,3,TH,TW] — WITHOUT background, final_T [T,TH,TW],
     n_contrib [T,TH,TW] int32), spatial layout."""
     T_tiles, NC, _, CHUNK = attrs.shape
     VS, VL = _vreg_shape(consts)
+    if origin is None:
+        origin = jnp.zeros((2,), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T_tiles,),
         in_specs=[
             pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
@@ -259,13 +289,14 @@ def blend_tiles_pallas_fwd(
         out_shape=out_shapes,
         interpret=_use_interpret(),
     )
-    C, final_T, n_contrib = fn(counts, attrs)
+    C, final_T, n_contrib = fn(counts, origin, attrs)
     return (_vreg_to_spatial(C, consts), _vreg_to_spatial(final_T, consts),
             _vreg_to_spatial(n_contrib, consts))
 
 
 def _bwd_kernel(consts: BlendConsts, n_tx: int,
                 counts_ref,  # scalar prefetch [T]
+                origin_ref,  # scalar prefetch [2] f32 window origin
                 attrs_ref,  # VMEM [1, NC, 16, 128]
                 gout_ref,  # VMEM [1, 3, TH, TW]
                 bgg_ref,  # VMEM [1, TH, TW]  (bg . g + g_T)
@@ -282,9 +313,11 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
     pid = pl.program_id(0)
     count = counts_ref[pid]
 
-    x0 = ((pid % n_tx) * TW).astype(jnp.float32)
-    y0 = ((pid // n_tx) * TH).astype(jnp.float32)
+    x0 = ((pid % n_tx) * TW).astype(jnp.float32) + origin_ref[0]
+    y0 = ((pid // n_tx) * TH).astype(jnp.float32) + origin_ref[1]
     px, py = _pixel_iotas(consts, x0, y0)
+    gate = ((jnp.floor(px * 0.0625), jnp.floor(py * 0.0625))
+            if consts.ref_gate else None)
     # tile-CENTERED pixel coords for the moment basis: px can reach the
     # sensor width, and centered moments minimize the recombination
     # cancellation (mx_l*m0 - m_px) in f32.  With the strip mapping the
@@ -331,7 +364,7 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
         for j in reversed(range(CHUNK)):
             k = k_base + j
             a_raw, G, dx, dy = _slot_values(
-                consts, attrs, j, k, count, px, py
+                consts, attrs, j, k, count, px, py, gate
             )
             a_j = jnp.where(k < nc, a_raw, 0.0)
             ok = a_j > 0.0
@@ -451,18 +484,21 @@ def blend_tiles_pallas_bwd(
     bg_dot_g: jnp.ndarray,  # [T, TH, TW]
     final_T: jnp.ndarray,  # [T, TH, TW]
     n_contrib: jnp.ndarray,  # [T, TH, TW] int32
+    origin=None,  # [2] f32 (wx0, wy0) sensor origin of the render window
 ) -> jnp.ndarray:
     """Returns packed grads [T, NC, 16, 128].  Pixel-plane inputs (g_out,
     bg_dot_g, final_T, n_contrib) are SPATIAL [.., TH, TW] — remapped to
     the kernel's vreg layout here."""
     T_tiles, NC, _, CHUNK = attrs.shape
     VS, VL = _vreg_shape(consts)
+    if origin is None:
+        origin = jnp.zeros((2,), jnp.float32)
     g_out = _spatial_to_vreg(g_out, consts)
     bg_dot_g = _spatial_to_vreg(bg_dot_g, consts)
     final_T = _spatial_to_vreg(final_T, consts)
     n_contrib = _spatial_to_vreg(n_contrib, consts)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T_tiles,),
         in_specs=[
             pl.BlockSpec((1, NC, ATTR_ROWS, CHUNK), lambda i, *_: (i, 0, 0, 0)),
@@ -486,5 +522,5 @@ def blend_tiles_pallas_bwd(
         ],
         interpret=_use_interpret(),
     )
-    (grads,) = fn(counts, attrs, g_out, bg_dot_g, final_T, n_contrib)
+    (grads,) = fn(counts, origin, attrs, g_out, bg_dot_g, final_T, n_contrib)
     return grads

@@ -46,9 +46,14 @@ def naive_render(
         means3d, opacities, scales, quats, colors, valid, cam,
         scale_modifier=scale_modifier, near_z=cfg.near_z,
     )
+    # ref_tile16_gate: the observable rect test happens at the
+    # reference's 16x16 block grid (config.h:15), not at this repo's
+    # compute-tile shape — mirror whichever the config renders with.
+    gate_h = 16 if cfg.ref_tile16_gate else cfg.tile_h
+    gate_w = 16 if cfg.ref_tile16_gate else cfg.tile_w
     x_min, y_min, x_max, y_max, area, pvalid = binning.compute_rects(
         jax.lax.stop_gradient(prep.mean2d), prep.radius, prep.valid,
-        cam.img_h, cam.img_w, cfg.tile_h, cfg.tile_w,
+        cam.img_h, cam.img_w, gate_h, gate_w,
     )
 
     # Global stable depth sort (ties by index == the tiled order).
@@ -60,8 +65,8 @@ def naive_render(
     H, W = cam.img_h, cam.img_w
     ix = jnp.arange(W, dtype=jnp.float32)[None, :]
     iy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    tile_x = (jnp.arange(W, dtype=jnp.int32) // cfg.tile_w)[None, :]
-    tile_y = (jnp.arange(H, dtype=jnp.int32) // cfg.tile_h)[:, None]
+    tile_x = (jnp.arange(W, dtype=jnp.int32) // gate_w)[None, :]
+    tile_y = (jnp.arange(H, dtype=jnp.int32) // gate_h)[:, None]
 
     xs = (
         prep.mean2d[order],

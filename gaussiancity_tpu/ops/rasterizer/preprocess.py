@@ -55,14 +55,17 @@ class Preprocessed(NamedTuple):
         return jnp.stack([self.color_r, self.color_g, self.color_b], axis=-1)
 
     def attrs16(self) -> jnp.ndarray:
-        """[N, 16] packed rows: mx, my, ca, cb, cc, op, cr, cg, cb2, 0*7 —
-        the blend kernels' ATTR layout (blend_pallas.py)."""
+        """[N, 16] packed rows: mx, my, ca, cb, cc, op, cr, cg, cb2,
+        radius, 0*6 — the blend kernels' ATTR layout (blend_pallas.py).
+        Row 9 (radius, exact small ints in f32, stop-gradient) feeds the
+        16x16 reference-block gate (BlendConsts.ref_gate)."""
         N = self.mx.shape[0]
         zeros = jnp.zeros((N,), dtype=self.mx.dtype)
         return jnp.stack(
             [self.mx, self.my, self.conic_a, self.conic_b, self.conic_c,
              self.opacity, self.color_r, self.color_g, self.color_b,
-             zeros, zeros, zeros, zeros, zeros, zeros, zeros], axis=-1)
+             self.radius.astype(self.mx.dtype),
+             zeros, zeros, zeros, zeros, zeros, zeros], axis=-1)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

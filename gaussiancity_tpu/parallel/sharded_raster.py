@@ -63,20 +63,23 @@ def _band_rasterize(
     band_h = -(-H // (cfg.tile_h * n_dev)) * cfg.tile_h
     band_y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
 
-    # Shift screen-space y so this band starts at 0, then bin into the
-    # band-local tile grid.
-    my_local = g_my - band_y0
+    # Bin with band-local y (band tile grid); the blend keeps SENSOR
+    # coordinates and shifts its pixel origins instead (api.rasterize's
+    # window pattern), so dx/dy — and the 16x16 ref-gate blocks — are
+    # bitwise equal to an unsharded render's.
     band_prep = preprocess.Preprocessed(
-        mx=g_mx, my=my_local,
+        mx=g_mx, my=g_my - band_y0,
         conic_a=g_attrs[:, 2], conic_b=g_attrs[:, 3], conic_c=g_attrs[:, 4],
         opacity=g_attrs[:, 5],
         color_r=g_attrs[:, 6], color_g=g_attrs[:, 7], color_b=g_attrs[:, 8],
         depth=g_depth, radius=g_radius, valid=g_valid,
     )
+    origin_f = jnp.stack([jnp.float32(0.0), band_y0])
     bins = binning.bin_gaussians(
         band_prep, band_h, W, cfg.tile_h, cfg.tile_w,
         cfg.max_tiles_per_gaussian, cfg.tile_capacity,
-        tiers=cfg.bin_tiers)
+        tiers=cfg.bin_tiers, visible_cap=cfg.visible_cap,
+        gate16=cfg.ref_tile16_gate, gate_origin=origin_f)
 
     n_ty, n_tx = binning.tile_grid(band_h, W, cfg.tile_h, cfg.tile_w)
     backend = cfg.backend
@@ -85,13 +88,14 @@ def _band_rasterize(
     consts = blend.BlendConsts(
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, alpha_min=cfg.alpha_min,
         alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
-        unroll=cfg.chunk, backend=backend, n_tx=n_tx)
+        unroll=cfg.chunk, backend=backend, n_tx=n_tx,
+        ref_gate=cfg.ref_tile16_gate)
 
     idx = bins.gauss_index
-    # band-local attribute rows: patch the shifted my into the packed
-    # attrs and clear the transport-only rows 9-11
-    attrs_band = g_attrs.at[:, 1].set(my_local)
-    attrs_band = attrs_band.at[:, 9:12].set(0.0)
+    # sensor-coordinate attribute rows: clear the transport-only rows
+    # 9-11, then restore radius to row 9 (the ref gate reads it there)
+    attrs_band = g_attrs.at[:, 9:12].set(0.0)
+    attrs_band = attrs_band.at[:, 9].set(g_radius.astype(attrs_band.dtype))
     if backend == "pallas":
         from gaussiancity_tpu.ops.rasterizer import blend_pallas
 
@@ -101,12 +105,17 @@ def _band_rasterize(
         attrs_paged = gathered.reshape(T_tiles, K // page, page, 16)
         attrs_paged = attrs_paged.transpose(0, 1, 3, 2)
         tiles_out, _ = blend.blend_tiles_packed(
-            consts, attrs_paged, bins.counts.astype(jnp.float32), bg)
+            consts, attrs_paged, bins.counts.astype(jnp.float32), origin_f,
+            bg)
     else:
-        kvalid = bins.kmask.astype(jnp.float32)
+        if cfg.ref_tile16_gate:
+            kvalid = jnp.where(bins.kmask, g_radius[idx], 0
+                               ).astype(jnp.float32)
+        else:
+            kvalid = bins.kmask.astype(jnp.float32)
         tid = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
         x0f = ((tid % n_tx) * cfg.tile_w).astype(jnp.float32)
-        y0f = ((tid // n_tx) * cfg.tile_h).astype(jnp.float32)
+        y0f = ((tid // n_tx) * cfg.tile_h).astype(jnp.float32) + band_y0
         tiles_out, _ = blend.blend_tiles(
             consts,
             jnp.stack([attrs_band[idx][..., 0], attrs_band[idx][..., 1]], -1),

@@ -202,6 +202,45 @@ class TestJit:
         )
 
 
+class TestRefGate:
+    """With ref_tile16_gate on, the observable rect test happens at the
+    reference's 16x16 block grid (config.h:15), so the render must be
+    INDEPENDENT of this repo's own compute-tile shape (and equal to the
+    16x16-gated naive oracle, covered by TestForwardParity)."""
+
+    def test_gate_render_is_tile_shape_independent(self):
+        cam = make_camera()
+        scene = make_scene(jax.random.PRNGKey(7), n=512)
+        outs = {}
+        for th, tw in ((8, 128), (32, 32), (16, 64)):
+            for backend in ("xla", "pallas"):
+                cfg = RasterizerConfig(
+                    tile_h=th, tile_w=tw, max_tiles_per_gaussian=64,
+                    tile_capacity=512, backend=backend,
+                    ref_tile16_gate=True)
+                out = rasterize(*scene, cam, cfg)
+                assert int(out.n_dropped_pairs) == 0
+                assert int(out.n_truncated) == 0
+                outs[(th, tw, backend)] = np.asarray(out.image)
+        ref = outs[(8, 128, "xla")]
+        for key, img in outs.items():
+            np.testing.assert_allclose(img, ref, atol=3e-6, rtol=1e-5,
+                                       err_msg=str(key))
+
+    def test_gate_off_depends_on_tile_shape(self):
+        # the converse: without the gate the tile-rect fringe is
+        # observable (documents WHY the gate exists)
+        cam = make_camera()
+        scene = make_scene(jax.random.PRNGKey(7), n=512)
+        imgs = []
+        for th, tw in ((8, 128), (32, 32)):
+            cfg = RasterizerConfig(
+                tile_h=th, tile_w=tw, max_tiles_per_gaussian=64,
+                tile_capacity=512, backend="xla", ref_tile16_gate=False)
+            imgs.append(np.asarray(rasterize(*scene, cam, cfg).image))
+        assert np.abs(imgs[0] - imgs[1]).max() > 1e-4
+
+
 class TestWindowedRender:
     """window=(x0, y0, Wc, Hc) must reproduce the corresponding crop of
     the full-sensor render — values and gradients (the reference crops
