@@ -311,12 +311,14 @@ def bench_stage_breakdown(jax, jnp):
         near_z=cfg.near_z))(means3d)
     bins = jax.jit(lambda p: binning.bin_gaussians(
         p, H, W, cfg.tile_h, cfg.tile_w, cfg.max_tiles_per_gaussian,
-        cfg.tile_capacity, tiers=cfg.bin_tiers))(prep)
+        cfg.tile_capacity, tiers=cfg.bin_tiers,
+        visible_cap=cfg.visible_cap, gate16=cfg.ref_tile16_gate))(prep)
     n_ty, n_tx = binning.tile_grid(H, W, cfg.tile_h, cfg.tile_w)
     consts = blend.BlendConsts(
         tile_h=cfg.tile_h, tile_w=cfg.tile_w, alpha_min=cfg.alpha_min,
         alpha_max=cfg.alpha_max, t_eps=cfg.transmittance_eps,
-        unroll=cfg.chunk, backend=backend, n_tx=n_tx)
+        unroll=cfg.chunk, backend=backend, n_tx=n_tx,
+        ref_gate=cfg.ref_tile16_gate)
     page = blend_pallas.default_page()
     attrs_paged = jax.jit(lambda p, i: blend._gather_pack(
         p.attrs16(), i, page))(prep, bins.gauss_index)
@@ -336,7 +338,8 @@ def bench_stage_breakdown(jax, jnp):
         lambda a, eps: tsum(binning.bin_gaussians(
             a[0]._replace(mx=a[0].mx + eps), H, W, cfg.tile_h, cfg.tile_w,
             cfg.max_tiles_per_gaussian, cfg.tile_capacity,
-            tiers=cfg.bin_tiers)), (prep,), repeats=2)
+            tiers=cfg.bin_tiers, visible_cap=cfg.visible_cap,
+            gate16=cfg.ref_tile16_gate)), (prep,), repeats=2)
     N = means3d.shape[0]
     out["stage_gather_pack_ms"] = chain_time(
         lambda a, eps: tsum(blend._gather_pack(
@@ -352,6 +355,17 @@ def bench_stage_breakdown(jax, jnp):
             consts, n_tx, a[0] + eps, counts, a[1] + eps, bgg, a[2],
             n_contrib)), (attrs_paged, g_out.transpose(0, 3, 1, 2),
                           final_T), repeats=2)
+    # the VJP transpose of the binning gather (compacted scatter back to
+    # the [N, 16] per-Gaussian gradient rows)
+    K = cfg.tile_capacity
+    k_hi0 = blend._k_hi(counts.astype(jnp.float32), n_contrib,
+                        cfg.grad_capacity, K)
+    out["stage_grad_scatter_ms"] = chain_time(
+        lambda a, eps: tsum(blend.scatter_packed_grads(
+            cfg.grad_capacity, cfg.grad_budget, N, a[0] + eps,
+            bins.gauss_index,
+            jnp.minimum(a[1] + eps.astype(jnp.int32), K))),
+        (attrs_paged, k_hi0), repeats=2)
     # sub-0.2 ms stages sit inside chain_time's noise floor
     return {k: round(max(v, 0.0), 3) for k, v in out.items()}
 

@@ -468,9 +468,21 @@ def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
     grads = blend_pallas.blend_tiles_pallas_bwd(
         consts, consts.n_tx, attrs_paged, counts,
         jnp.moveaxis(g_out, -1, 1), bg_dot_g, final_T, n_contrib, origin_f)
+    k_hi = _k_hi(counts_f, n_contrib, grad_capacity, grads.shape[1]
+                 * grads.shape[3])
+    d_attrs16 = scatter_packed_grads(grad_capacity, grad_budget, N, grads,
+                                     idx_f.astype(jnp.int32), k_hi)
+    return (d_attrs16, jnp.zeros_like(idx_f), jnp.zeros_like(counts_f),
+            jnp.zeros_like(origin_f), d_bg)
+
+
+def scatter_packed_grads(grad_capacity, grad_budget, N, grads, idx, k_hi):
+    """Reduce per-(tile, slot) packed grads [T, NC, R, page] to
+    per-Gaussian rows [N, R] through the binning index (the VJP transpose
+    of the binning gather).  ``k_hi`` [T] bounds each tile's
+    gradient-carrying slots (see _k_hi)."""
     T_tiles, NC, R, page = grads.shape
     K = NC * page
-    idx = idx_f.astype(jnp.int32)
     if grad_budget > 0:
         # Compacted scatter: enumerate only the PAGES of (tile, k)
         # positions with k < k_hi — the slots that can carry gradient —
@@ -480,7 +492,6 @@ def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
         # measured ~80x slower, CLAUDE.md rules); overflow beyond the
         # budget is reported by the forward's n_grad_truncated.
         BP = grad_budget // page
-        k_hi = _k_hi(counts_f, n_contrib, grad_capacity, K)  # [T]
         pages_t = -(-k_hi // page)  # [T]
         poff = jnp.cumsum(pages_t) - pages_t  # exclusive [T]
         total_p = poff[-1] + pages_t[-1]
@@ -516,8 +527,7 @@ def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
         d_attrs16 = jnp.zeros((N, R), jnp.float32).at[
             idx[:, : ncb * page].reshape(-1)].add(
             g_rows, mode="promise_in_bounds")
-    return (d_attrs16, jnp.zeros_like(idx_f), jnp.zeros_like(counts_f),
-            jnp.zeros_like(origin_f), d_bg)
+    return d_attrs16
 
 
 blend_gathered.defvjp(_gathered_fwd_rule, _gathered_bwd_rule)
