@@ -108,11 +108,13 @@ def _bitpack(occ: jnp.ndarray):
 def pack_occupancy(volume: jnp.ndarray):
     """(occ_words [h, w, ceil(d/32)] uint32 per-column z-bitmasks, ztop
     f32 — 1 + highest occupied z, coarse_cols [ceil(h/8), ceil(w/8),
-    ceil(d/32)] uint32 — the bitwise OR of each 8x8 xy block's columns).
+    ceil(d/32)] uint32 — the bitwise OR of each 8x8 xy block's columns,
+    coarse2_cols [ceil(h/64), ceil(w/64), ceil(d/32)] — the OR of each
+    64x64 block).
 
-    The coarse table keeps FULL z resolution (only xy is coarsened): a
-    ray's z-span test against a coarse column is exact per 8x8 block, so
-    a shallow ray grazing just above the rooftops still coarse-skips even
+    The coarse tables keep FULL z resolution (only xy is coarsened): a
+    ray's z-span test against a coarse column is exact per block, so a
+    shallow ray grazing just above the rooftops still coarse-skips even
     though the ground slab below is solidly occupied — the failure mode
     of a 3-D supervoxel hierarchy, where any block containing the ground
     is "occupied" at every altitude.
@@ -133,7 +135,13 @@ def pack_occupancy(volume: jnp.ndarray):
     coarse_cols = jax.lax.reduce(
         wp.reshape(hb, C, wb, C, dw), jnp.uint32(0),
         jax.lax.bitwise_or, (1, 3))
-    return occ_words, ztop, coarse_cols
+    hb2, wb2 = -(-hb // C), -(-wb // C)
+    wp2 = jnp.zeros((hb2 * C, wb2 * C, dw), jnp.uint32)
+    wp2 = wp2.at[:hb, :wb].set(coarse_cols)
+    coarse2_cols = jax.lax.reduce(
+        wp2.reshape(hb2, C, wb2, C, dw), jnp.uint32(0),
+        jax.lax.bitwise_or, (1, 3))
+    return occ_words, ztop, coarse_cols, coarse2_cols
 
 
 def ray_voxel_intersection(
@@ -148,7 +156,8 @@ def ray_voxel_intersection(
     occupancy=None,  # optional prebuilt pack_occupancy(volume)
     n_bands: int = 16,  # independent row-band loops (see below)
     order: str | None = None,  # None = image rows; "cost" = sorted march
-    return_band_iters: bool = False,  # also return per-band loop iters
+    return_band_iters: bool = False,  # also return (iters, live) per band
+    compact_after=(64, 96),  # compaction iteration(s): int | tuple | None
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
@@ -170,37 +179,48 @@ def ray_voxel_intersection(
       unskipped DDA up to that rounding (a corner-grazing ray can land one
       cell over).  Every voxel skipped is empty by construction of ztop,
       so no hit is ever missed.
-    - two-level xy hierarchy as a UNIFIED per-ray state machine: each ray
-      carries (t, mode, block) — coarse mode steps 8x8-column blocks
-      (their z-masks are the OR of the block's columns, at FULL z
-      resolution, so a ray just above the rooftops skips blocks whose
-      ground floors are solid), fine mode steps single columns, and
-      transitions happen per ray with no phase barriers.  Every iteration
-      performs exactly ONE occupancy gather per ray (fine and coarse
-      words live in one concatenated buffer).  Segments are sampled at
-      midpoints between consecutive crossings with boundary-inset z
-      endpoints (robust to float rounding); every column skipped lies in
-      an all-empty block, so no hit is ever missed.
+    - THREE-level xy hierarchy (1 / 8x8 / 64x64 columns) as a UNIFIED
+      per-ray state machine: each ray carries (t, level, parent-block) —
+      level-L mode steps 8^L-column blocks (their z-masks are the OR of
+      the block's columns, at FULL z resolution, so a ray just above the
+      rooftops skips blocks whose ground floors are solid), and
+      transitions happen per ray with no phase barriers: a ray crossing
+      into a NEW parent block spends its iteration testing the parent
+      (empty -> ascend AND advance; hit -> stay, rescan finer), and a
+      hit at the ray's own level descends one level without advancing.
+      Every iteration performs exactly ONE occupancy gather per ray (all
+      three tables live in one concatenated buffer).  Segments are
+      sampled at midpoints between consecutive crossings with
+      boundary-inset z endpoints (robust to float rounding); every
+      column skipped lies in an all-empty ancestor block, so no hit is
+      ever missed.
 
     Measured on chip (512x512x192 volume, 518k rays, synthetic city):
-    593 ms (3-D supervoxel two-phase rounds, round 3) -> 446 ms; the
-    march is gather-bound (~95% of the cost is the per-step occupancy
-    row fetch), so ray order must stay image-coherent (see ``order``).
+    593 ms (3-D supervoxel two-phase rounds, round 3) -> 446 ms
+    (two-level column march) -> 440 ms (this three-level machine — a tie
+    at 512^2 xy, where only an 8x8 grid of 64x64 blocks exists; the
+    third level is kept for larger footprints, where 64-cell skips
+    shorten horizon rays).  The march is gather-bound (~95% of the cost
+    is the per-step occupancy row fetch), so ray order must stay
+    image-coherent (see ``order``).
     """
     h, w, d = volume.shape
     H, W = img_dims
     vol_flat = volume.reshape(-1)
     if occupancy is None:
         occupancy = pack_occupancy(volume)
-    occ_words, ztop, coarse_cols = occupancy
+    occ_words, ztop, coarse_cols, coarse2_cols = occupancy
     dw = occ_words.shape[-1]
     hb, wb = coarse_cols.shape[0], coarse_cols.shape[1]
+    hb2, wb2 = coarse2_cols.shape[0], coarse2_cols.shape[1]
     # fine + coarse words share one buffer: the per-step gather target is
     # an index select, never a second gather
     occ_all = jnp.concatenate(
-        [occ_words.reshape(-1), coarse_cols.reshape(-1)])
+        [occ_words.reshape(-1), coarse_cols.reshape(-1),
+         coarse2_cols.reshape(-1)])
     base_c = h * w * dw
-    total_words = base_c + hb * wb * dw
+    base_c2 = base_c + hb * wb * dw
+    total_words = base_c2 + hb2 * wb2 * dw
 
     # Camera basis (ray_voxel_intersection.cu host code builds fwd/side/up
     # from viewdir and world-up by Gram-Schmidt; mirrored here)
@@ -274,169 +294,263 @@ def ray_voxel_intersection(
     # loops stop when the band's own worst ray is done (top-of-frame sky
     # bands exit almost immediately, near-ground bands hit early — only
     # horizon bands march far).
-    B = max(1, min(n_bands, R))
-    Rb = -(-R // B)
-    Rp = Rb * B
-
-    def bandify(v, fill):
+    def bandify(v, fill, B):
+        Rb = -(-R // B)
+        Rp = Rb * B
         if Rp != R:
             v = jnp.concatenate(
                 [v, jnp.full((Rp - R,), fill, v.dtype)])
         return v.reshape(B, Rb)
 
-    xs = (
-        bandify(miss0, True),  # padding rays are born done
-        tuple(bandify(ro[i], 0.0) for i in range(3)),
-        tuple(bandify(rd[i], 1.0) for i in range(3)),
-    )
+    # initial per-ray march state (full R, before banding)
+    inv0 = [1.0 / rd[i] for i in range(3)]
+    step01f = [(rd[i] > 0).astype(jnp.float32) for i in range(3)]
+    zrd = [rd[i] == 0 for i in range(3)]
 
-    # Two-level COLUMN march (see docstring): the ray advances over x/y
-    # cell (fine) or 8x8-block (coarse) crossings plus z-WORD (32-cell)
-    # boundaries; each iteration tests the ENTIRE z-interval the segment
-    # spans in one column with a single masked 32-bit word — the z axis
-    # never contributes per-cell steps.  One occupancy gather per ray per
-    # iteration; first hit in ray order via trailing/leading-bit ops.
+    def first_cross_full(i):
+        # first FINE crossing (x/y cell or z CELL): the reference DDA
+        # samples cells only after the first crossing, so the origin cell
+        # stays untested while the rest of the origin column (entered via
+        # its z-cell crossing) is not skipped
+        c = jnp.floor(ro[i])
+        t = (c + step01f[i] - ro[i]) * inv0[i]
+        return jnp.where(zrd[i], jnp.inf, t)
+
+    t_init = jnp.maximum(jnp.minimum(jnp.minimum(
+        first_cross_full(0), first_cross_full(1)), first_cross_full(2)), 0.0)
     Cs = float(COARSE)
     assert COARSE & (COARSE - 1) == 0, "COARSE must be a power of two"
     cshift = COARSE.bit_length() - 1
-    iter_cap = max_steps
+    wb_i = wb
+    blk_init = (jnp.floor(ro[0] / Cs).astype(jnp.int32) * wb_i
+                + jnp.floor(ro[1] / Cs).astype(jnp.int32))
+    state0 = (
+        miss0,  # done
+        jnp.zeros((R,), jnp.int32),  # level
+        t_init,
+        blk_init,
+        jnp.full((R,), -1, jnp.int32),  # hit_lin
+        jnp.full((R,), jnp.inf, jnp.float32),  # hit_t
+    )
+    state_fills = (True, 0, 0.0, 0, -1, jnp.inf)
+
+    def band_xs(state, ro_v, rd_v, B):
+        return (
+            tuple(bandify(s, f, B) for s, f in zip(state, state_fills)),
+            tuple(bandify(ro_v[i], 0.0, B) for i in range(3)),
+            tuple(bandify(rd_v[i], 1.0, B) for i in range(3)),
+        )
+
+    # Three-level COLUMN march (see docstring): the ray advances over x/y
+    # cell (level 0), 8x8-block (level 1) or 64x64-block (level 2)
+    # crossings plus z-WORD (32-cell) boundaries; each iteration tests
+    # the ENTIRE z-interval the segment spans in one column with a single
+    # masked 32-bit word — the z axis never contributes per-cell steps.
+    # One occupancy gather per ray per iteration; first hit in ray order
+    # via trailing/leading-bit ops.
     FULL = jnp.uint32(0xFFFFFFFF)
 
-    def run_band(carry, bx):
-        done0, ro_b, rd_b = bx
-        inv = [1.0 / rd_b[i] for i in range(3)]  # +-inf at rd == 0
-        step01 = [(rd_b[i] > 0).astype(jnp.float32) for i in range(3)]
-        zero_rd = [rd_b[i] == 0 for i in range(3)]
-        pos_dir = [rd_b[i] > 0 for i in range(3)]
-        neg_dir = [rd_b[i] < 0 for i in range(3)]
+    def make_run_band(iter_cap):
+        def run_band(carry, bx):
+            (done0, lvl0, t0, blk0, hl0, ht0), ro_b, rd_b = bx
+            inv = [1.0 / rd_b[i] for i in range(3)]  # +-inf at rd == 0
+            step01 = [(rd_b[i] > 0).astype(jnp.float32) for i in range(3)]
+            zero_rd = [rd_b[i] == 0 for i in range(3)]
+            pos_dir = [rd_b[i] > 0 for i in range(3)]
+            neg_dir = [rd_b[i] < 0 for i in range(3)]
 
-        # start at the first FINE crossing (x/y cell or z CELL): the
-        # reference DDA samples cells only after the first crossing, so
-        # the origin cell must stay untested while the rest of the origin
-        # column (entered via its z-cell crossing) must not be skipped
-        def first_cross(i, scale=1.0):
-            c = jnp.floor(ro_b[i] / scale)
-            t = ((c + step01[i]) * scale - ro_b[i]) * inv[i]
-            return jnp.where(zero_rd[i], jnp.inf, t)
+            def cond(st):
+                return (st[0] < iter_cap) & jnp.logical_not(jnp.all(st[1]))
 
-        t0 = jnp.minimum(jnp.minimum(first_cross(0), first_cross(1)),
-                         first_cross(2))
-        t0 = jnp.maximum(t0, 0.0)
-        blk0 = (jnp.floor(ro_b[0] / Cs).astype(jnp.int32) * wb
-                + jnp.floor(ro_b[1] / Cs).astype(jnp.int32))
+            def sel_lvl(lvl, v0, v1, v2):
+                return jnp.where(lvl == 0, v0, jnp.where(lvl == 1, v1, v2))
 
-        def cond(st):
-            return (st[0] < iter_cap) & jnp.logical_not(jnp.all(st[1]))
+            def body(st):
+                it, done, lvl, t, blk, hit_lin, hit_t = st
+                live = jnp.logical_not(done)
+                s = sel_lvl(lvl, 1.0, Cs, Cs * Cs)
+                s_inv = sel_lvl(lvl, 1.0, 1.0 / Cs, 1.0 / (Cs * Cs))
+                # next crossing: x/y in own-level units, z at word granularity
+                def crossing(i, sc, sc_inv):
+                    p = ro_b[i] + t * rd_b[i]
+                    c = jnp.floor(p * sc_inv)
+                    ti = ((c + step01[i]) * sc - ro_b[i]) * inv[i]
+                    return jnp.where(zero_rd[i], jnp.inf, ti)
 
-        def body(st):
-            it, done, fine, t, blk, hit_lin, hit_t = st
-            live = jnp.logical_not(done)
-            s = jnp.where(fine, 1.0, Cs)
-            s_inv = jnp.where(fine, 1.0, 1.0 / Cs)
-            # next crossing: x/y in mode units, z at word granularity
-            def crossing(i, sc, sc_inv):
-                p = ro_b[i] + t * rd_b[i]
-                c = jnp.floor(p * sc_inv)
-                ti = ((c + step01[i]) * sc - ro_b[i]) * inv[i]
-                return jnp.where(zero_rd[i], jnp.inf, ti)
+                tn = jnp.minimum(
+                    jnp.minimum(crossing(0, s, s_inv), crossing(1, s, s_inv)),
+                    crossing(2, 32.0, 1.0 / 32.0))
+                # forced progress: a crossing landing exactly on a boundary
+                # (float rounding) would otherwise stall forever; ~1e-4 cells
+                # is the same tolerance class as the sky skip's re-based
+                # origin
+                tn = jnp.maximum(tn, t + 1e-4)
+                tm = 0.5 * (t + tn)
+                m0 = jnp.floor((ro_b[0] + tm * rd_b[0]) * s_inv
+                               ).astype(jnp.int32)
+                m1 = jnp.floor((ro_b[1] + tm * rd_b[1]) * s_inv
+                               ).astype(jnp.int32)
+                wz = jnp.floor((ro_b[2] + tm * rd_b[2]) * (1.0 / 32.0)
+                               ).astype(jnp.int32)
+                # z-cell span of the segment, endpoints inset 1e-3 into the
+                # open interval so boundary-exact endpoints round inward
+                za = ro_b[2] + (t + 1e-3 * (tn - t)) * rd_b[2]
+                zb = ro_b[2] + (tn - 1e-3 * (tn - t)) * rd_b[2]
+                zlo = jnp.floor(jnp.minimum(za, zb)).astype(jnp.int32)
+                zhi = jnp.floor(jnp.maximum(za, zb)).astype(jnp.int32)
+                # segments never straddle a z-word boundary (crossings split
+                # there), so wz is THE word; clamp the span into it
+                lo5 = (jnp.maximum(zlo, wz * 32) & 31).astype(jnp.uint32)
+                hi5 = (jnp.minimum(zhi, wz * 32 + 31) & 31).astype(jnp.uint32)
+                span_ok = zlo <= zhi
 
-            tn = jnp.minimum(
-                jnp.minimum(crossing(0, s, s_inv), crossing(1, s, s_inv)),
-                crossing(2, 32.0, 1.0 / 32.0))
-            # forced progress: a crossing landing exactly on a boundary
-            # (float rounding) would otherwise stall forever; ~1e-4 cells
-            # is the same tolerance class as the sky skip's re-based
-            # origin
-            tn = jnp.maximum(tn, t + 1e-4)
-            tm = 0.5 * (t + tn)
-            m0 = jnp.floor((ro_b[0] + tm * rd_b[0]) * s_inv
-                           ).astype(jnp.int32)
-            m1 = jnp.floor((ro_b[1] + tm * rd_b[1]) * s_inv
-                           ).astype(jnp.int32)
-            wz = jnp.floor((ro_b[2] + tm * rd_b[2]) * (1.0 / 32.0)
-                           ).astype(jnp.int32)
-            # z-cell span of the segment, endpoints inset 1e-3 into the
-            # open interval so boundary-exact endpoints round inward
-            za = ro_b[2] + (t + 1e-3 * (tn - t)) * rd_b[2]
-            zb = ro_b[2] + (tn - 1e-3 * (tn - t)) * rd_b[2]
-            zlo = jnp.floor(jnp.minimum(za, zb)).astype(jnp.int32)
-            zhi = jnp.floor(jnp.maximum(za, zb)).astype(jnp.int32)
-            # segments never straddle a z-word boundary (crossings split
-            # there), so wz is THE word; clamp the span into it
-            lo5 = (jnp.maximum(zlo, wz * 32) & 31).astype(jnp.uint32)
-            hi5 = (jnp.minimum(zhi, wz * 32 + 31) & 31).astype(jnp.uint32)
-            span_ok = zlo <= zhi
+                d0 = sel_lvl(lvl, h, hb, hb2)
+                d1 = sel_lvl(lvl, w, wb, wb2)
+                out_hi0 = m0 >= d0
+                out_lo0 = m0 < 0
+                out_hi1 = m1 >= d1
+                out_lo1 = m1 < 0
+                out_hi2 = wz >= dw
+                out_lo2 = wz < 0
+                outside = (out_hi0 | out_lo0 | out_hi1 | out_lo1 | out_hi2
+                           | out_lo2)
+                out_away = ((out_hi0 & pos_dir[0]) | (out_lo0 & neg_dir[0])
+                            | (out_hi1 & pos_dir[1]) | (out_lo1 & neg_dir[1])
+                            | (out_hi2 & pos_dir[2]) | (out_lo2 & neg_dir[2]))
+                # a ray crossing into a NEW parent block spends this iteration
+                # testing the parent instead (levels 0/1; level 2 has none)
+                p0 = m0 >> cshift
+                p1 = m1 >> cshift
+                pwb = jnp.where(lvl == 0, wb, wb2)
+                pid = p0 * pwb + p1
+                is_new = (lvl < 2) & (pid != blk)
+                tl = lvl + is_new.astype(jnp.int32)  # tested level
+                c0 = jnp.where(is_new, p0, m0)
+                c1 = jnp.where(is_new, p1, m1)
+                tw_d = sel_lvl(tl, w, wb, wb2)
+                tbase = sel_lvl(tl, 0, base_c, base_c2)
+                gidx = tbase + (c0 * tw_d + c1) * dw + wz
+                wrd = jnp.where(
+                    outside | done, jnp.uint32(0),
+                    occ_all[jnp.clip(gidx, 0, total_words - 1)])
+                mask = (FULL << lo5) & (FULL >> (jnp.uint32(31) - hi5))
+                hitw = jnp.where(span_ok, wrd & mask, jnp.uint32(0))
+                any_bit = hitw != 0
+                # first set bit along the ray's z direction
+                low_bit = jax.lax.population_count((hitw - 1) & ~hitw)
+                high_bit = jnp.uint32(31) - jax.lax.clz(hitw)
+                kbit = jnp.where(rd_b[2] >= 0, low_bit, high_bit
+                                 ).astype(jnp.int32)
+                kz = wz * 32 + kbit
 
-            d0 = jnp.where(fine, h, hb)
-            d1 = jnp.where(fine, w, wb)
-            out_hi0 = m0 >= d0
-            out_lo0 = m0 < 0
-            out_hi1 = m1 >= d1
-            out_lo1 = m1 < 0
-            out_hi2 = wz >= dw
-            out_lo2 = wz < 0
-            outside = (out_hi0 | out_lo0 | out_hi1 | out_lo1 | out_hi2
-                       | out_lo2)
-            out_away = ((out_hi0 & pos_dir[0]) | (out_lo0 & neg_dir[0])
-                        | (out_hi1 & pos_dir[1]) | (out_lo1 & neg_dir[1])
-                        | (out_hi2 & pos_dir[2]) | (out_lo2 & neg_dir[2]))
-            # a fine ray crossing into a NEW 8x8 block spends this
-            # iteration coarse-testing it instead
-            b0 = m0 >> cshift
-            b1 = m1 >> cshift
-            mblk = b0 * wb + b1
-            is_new = fine & (mblk != blk)
-            coarse_test = jnp.logical_not(fine) | is_new
-            cc0 = jnp.where(fine, b0, m0)
-            cc1 = jnp.where(fine, b1, m1)
-            gidx = jnp.where(coarse_test,
-                             base_c + (cc0 * wb + cc1) * dw + wz,
-                             (m0 * w + m1) * dw + wz)
-            wrd = jnp.where(
-                outside | done, jnp.uint32(0),
-                occ_all[jnp.clip(gidx, 0, total_words - 1)])
-            mask = (FULL << lo5) & (FULL >> (jnp.uint32(31) - hi5))
-            hitw = jnp.where(span_ok, wrd & mask, jnp.uint32(0))
-            any_bit = hitw != 0
-            # first set bit along the ray's z direction
-            low_bit = jax.lax.population_count((hitw - 1) & ~hitw)
-            high_bit = jnp.uint32(31) - jax.lax.clz(hitw)
-            kbit = jnp.where(rd_b[2] >= 0, low_bit, high_bit
-                             ).astype(jnp.int32)
-            kz = wz * 32 + kbit
+                hit = live & (tl == 0) & any_bit
+                # a hit at tested level > 0 re-scans it one level finer from
+                # the SAME t (is_new-hit keeps the level; own-hit descends);
+                # an empty parent test ascends AND advances (the segment lies
+                # inside the just-tested empty parent, so tn is safe)
+                descend = live & any_bit & (tl > 0)
+                ascend = live & is_new & jnp.logical_not(any_bit)
+                adv = live & jnp.logical_not(any_bit)
+                done_n = done | hit | (live & out_away)
+                lvl_n = jnp.where(descend, tl - 1,
+                                  jnp.where(ascend, tl, lvl))
+                # parent tracking: descending makes the tested block the new
+                # parent; ascending to level 1 adopts the grandparent block
+                # (level 2 tracks no parent)
+                blk_desc = c0 * jnp.where(tl == 1, wb, wb2) + c1
+                blk_asc = jnp.where(
+                    lvl == 0, (p0 >> cshift) * wb2 + (p1 >> cshift), -1)
+                blk_n = jnp.where(descend, blk_desc,
+                                  jnp.where(ascend, blk_asc, blk))
+                hit_lin_n = jnp.where(hit, (m0 * w + m1) * d + kz, hit_lin)
+                # entry param of the hit cell: the later of the segment start
+                # and the z-crossing into cell kz
+                tz = ((kz + (rd_b[2] < 0)).astype(jnp.float32) - ro_b[2]
+                      ) * inv[2]
+                tz = jnp.where(zero_rd[2], t, tz)
+                hit_t_n = jnp.where(hit, jnp.maximum(t, tz), hit_t)
+                t_n = jnp.where(adv & jnp.logical_not(done_n), tn, t)
+                return (it + 1, done_n, lvl_n, t_n, blk_n, hit_lin_n,
+                        hit_t_n)
 
-            hit = live & fine & jnp.logical_not(is_new) & any_bit
-            enter_fine = live & coarse_test & any_bit
-            adv = live & jnp.logical_not(any_bit) & jnp.logical_not(is_new)
-            done_n = done | hit | (live & out_away)
-            fine_n = jnp.where(
-                enter_fine, True,
-                jnp.where(live & coarse_test & jnp.logical_not(any_bit),
-                          False, fine))
-            blk_n = jnp.where(enter_fine,
-                              jnp.where(fine, mblk, m0 * wb + m1), blk)
-            hit_lin_n = jnp.where(hit, (m0 * w + m1) * d + kz, hit_lin)
-            # entry param of the hit cell: the later of the segment start
-            # and the z-crossing into cell kz
-            tz = ((kz + (rd_b[2] < 0)).astype(jnp.float32) - ro_b[2]
-                  ) * inv[2]
-            tz = jnp.where(zero_rd[2], t, tz)
-            hit_t_n = jnp.where(hit, jnp.maximum(t, tz), hit_t)
-            t_n = jnp.where(adv & jnp.logical_not(done_n), tn, t)
-            return (it + 1, done_n, fine_n, t_n, blk_n, hit_lin_n,
-                    hit_t_n)
+            out = jax.lax.while_loop(cond, body, (
+                jnp.int32(0), done0, lvl0, t0, blk0, hl0, ht0))
+            n_live = jnp.sum(jnp.logical_not(out[1]).astype(jnp.int32))
+            return carry, (tuple(out[1:]), out[0], n_live)
 
-        # start in fine mode: fine tests are always exact, and the first
-        # block crossing switches to coarse within <=8 steps
-        out = jax.lax.while_loop(cond, body, (
-            jnp.int32(0), done0, jnp.ones((Rb,), bool), t0, blk0,
-            jnp.full((Rb,), -1, jnp.int32),
-            jnp.full((Rb,), jnp.inf, jnp.float32)))
-        return carry, (out[5], out[6], out[0])
+        return run_band
 
-    _, (hit_lin_b, hit_t_b, band_iters) = jax.lax.scan(run_band, 0, xs)
-    hit_lin = hit_lin_b.reshape(-1)[:R]
-    hit_t = hit_t_b.reshape(-1)[:R]
+    def run_phase(state, ro_v, rd_v, cap):
+        """March every ray (banded scan) for at most ``cap`` iterations
+        from ``state``; returns (state', band_iters, band_live) with the
+        state flattened back to full length R."""
+        _, (st_b, iters, live) = jax.lax.scan(
+            make_run_band(cap), 0, band_xs(state, ro_v, rd_v, bands))
+        return tuple(s.reshape(-1)[:R] for s in st_b), iters, live
+
+    # Survivor compaction (measured: ~86% of rays settle in the first 64
+    # iterations but lockstep bands pay full width for the whole march —
+    # ~50% of wall time goes to the last ~14% of rays).  March a fixed
+    # prefix, stable-sort rays by doneness (image order preserved within
+    # each class, keeping the occupancy gathers coherent), and finish the
+    # survivors in the leading bands while fully-done bands exit their
+    # while loop at iteration 0.  Everything rides ONE multi-payload sort
+    # (~5 ms at 518k rows) — element gathers by a permutation were
+    # measured ~100x worse (the first cut, 440 -> 970 ms).  Recomputable
+    # state is reset instead of carried: lvl=0 / blk=-1 force one exact
+    # parent re-test per survivor (<=2 extra iterations), and each
+    # stage's partial hit results stay in that stage's entry order,
+    # merged while unwinding the sorts.  Measured (plain dispatch, 518k
+    # rays, tune scene): 492 ms uncompacted -> 350 at (64,) -> 300 at
+    # the default (64, 96); chain_time misreports this op (its fori
+    # chaining serializes the phases), so trust per-call + host fetch.
+    points = compact_after
+    if points is not None and not isinstance(points, (tuple, list)):
+        points = (points,)
+    points = tuple(sorted(p for p in (points or ()) if 0 < p < max_steps))
+    bands = max(1, min(n_bands, R))
+    iota = jnp.arange(R, dtype=jnp.int32)
+    state = state0
+    ro_c, rd_c = ro, rd
+    prev_k = 0
+    unwind = []  # (idx_of_sort, partial hl, partial ht) per stage
+    iters_all, live_all = [], []
+    for k in points:
+        st, it_k, lv_k = run_phase(state, ro_c, rd_c, k - prev_k)
+        prev_k = k
+        iters_all.append(it_k)
+        live_all.append(lv_k)
+        done_k, _, t_k, _, hl_k, ht_k = st
+        (done_s, idx_s, t_s, ro0s, ro1s, ro2s, rd0s, rd1s,
+         rd2s) = jax.lax.sort(
+            (done_k.astype(jnp.int32), iota, t_k, ro_c[0], ro_c[1],
+             ro_c[2], rd_c[0], rd_c[1], rd_c[2]),
+            num_keys=1, is_stable=True)
+        unwind.append((idx_s, hl_k, ht_k))
+        state = (
+            done_s.astype(bool),
+            jnp.zeros((R,), jnp.int32),  # lvl reset: level-0 tests exact
+            t_s,
+            jnp.full((R,), -1, jnp.int32),  # blk=-1: parent re-tested
+            jnp.full((R,), -1, jnp.int32),
+            jnp.full((R,), jnp.inf, jnp.float32),
+        )
+        ro_c = [ro0s, ro1s, ro2s]
+        rd_c = [rd0s, rd1s, rd2s]
+    state_f, it_f, lv_f = run_phase(state, ro_c, rd_c, max_steps - prev_k)
+    iters_all.append(it_f)
+    live_all.append(lv_f)
+    hit_lin, hit_t = state_f[4], state_f[5]
+    for idx_s, hl_k, ht_k in reversed(unwind):
+        # undo this stage's compaction sort (sorting the carried iota
+        # restores entry order), then merge: deeper stages wrote results
+        # only for their survivors, this stage holds everyone else's
+        _, hl_u, ht_u = jax.lax.sort((idx_s, hit_lin, hit_t), num_keys=1)
+        deeper = hl_u >= 0
+        hit_lin = jnp.where(deeper, hl_u, hl_k)
+        hit_t = jnp.where(deeper, ht_u, ht_k)
+    band_iters = jnp.concatenate(iters_all)
+    band_live = jnp.concatenate(live_all)
     if perm is not None:
         # restore original ray order: sorting by the permutation (a
         # permutation of iota) with the results as payloads inverts it in
@@ -455,7 +569,7 @@ def ray_voxel_intersection(
         raydirs=raydir,
     )
     if return_band_iters:
-        return res, band_iters
+        return res, (band_iters, band_live)
     return res
 
 
@@ -498,6 +612,7 @@ def visible_from_volume(
     occupancy=None,  # optional prebuilt pack_occupancy(vol)
     n_bands: int = 16,
     order: str | None = None,
+    compact_after=(64, 96),
 ):
     """Raycast against a prebuilt id volume (the volume depends only on
     the points: trajectory renderers build it once and raycast per frame)."""
@@ -511,7 +626,8 @@ def visible_from_volume(
     vdir = jnp.stack([look_dir[1], look_dir[0], look_dir[2]])
     res = ray_voxel_intersection(
         vol, ori, vdir, jnp.asarray([0.0, 0.0, 1.0]), cam_f, cam_c,
-        img_dims, occupancy=occupancy, n_bands=n_bands, order=order)
+        img_dims, occupancy=occupancy, n_bands=n_bands, order=order,
+        compact_after=compact_after)
     vp_map = res.voxel_id - 1  # -1 = miss
     ins = points[:, 4]
     ins_map = jnp.where(vp_map >= 0, ins[jnp.maximum(vp_map, 0)], 0)

@@ -188,3 +188,28 @@ class TestVisibility:
                     np.testing.assert_allclose(ts[py, px], want_t,
                                                rtol=1e-4)
         assert n_hit > 10  # the scene is actually visible
+
+    def test_survivor_compaction_is_exact(self):
+        # The two-phase compacted march must be bit-identical to the
+        # single-phase march: compaction only reorders WHEN rays march,
+        # never what they test.
+        rng = np.random.default_rng(21)
+        vol = np.zeros((40, 40, 48), np.int32)
+        occ = rng.random((40, 40, 8)) > 0.9
+        vol[:, :, :8][occ] = rng.integers(1, 50, occ.sum())
+        vol[:, :, 0] = 9  # ground
+        ori = np.array([20.2, 3.7, 30.4], np.float32)
+        cam_dir = np.array([0.2, 1.0, -0.35], np.float32)
+        up = np.array([0.0, 0.0, 1.0], np.float32)
+        H, W = 16, 20
+        args = (jnp.asarray(vol), jnp.asarray(ori), jnp.asarray(cam_dir),
+                jnp.asarray(up), 6.0, (H / 2.0, W / 2.0), (H, W))
+        # max_steps = 40+40+48+3 = 131 > 8, so several compaction points
+        # genuinely split the march mid-flight
+        base = ray_voxel_intersection(*args, compact_after=None)
+        for k in (8, 32, 64, (8, 32), (16, 48, 96)):
+            two = ray_voxel_intersection(*args, compact_after=k)
+            np.testing.assert_array_equal(np.asarray(base.voxel_id),
+                                          np.asarray(two.voxel_id))
+            np.testing.assert_array_equal(np.asarray(base.depth),
+                                          np.asarray(two.depth))
