@@ -272,6 +272,13 @@ class PTv3Config(_Base):
     # Off by default (training shapes fit HBM; fwd-only inference never
     # materializes backward residuals).
     remat: bool = False
+    # SubMConv neighbor search via a dense [extent^3] voxel id-map
+    # instead of the sorted merge (models/ptv3.py::subm_neighbors_dense;
+    # measured 37.9 -> ~8 ms for the k5 stem at 16k points).  Every PTv3
+    # recipe feeds per-instance normalized coords (extent <= ~200 at
+    # grid_size 0.01); out-of-extent points are counted in the
+    # PTv3NbrOverflow diagnostic.  0 = sorted-merge path.
+    dense_nbr_extent: int = 256
 
 
 @dataclass(frozen=True)

@@ -249,6 +249,9 @@ class InferencePipeline:
                 return seen[2:], ins_map == 1  # ROAD class id
 
             self._vis_fn = jax.jit(vis_compact)
+        import time as _time
+
+        t0 = _time.time()
         seen, road = self._vis_fn(
             self._vol, self._pts_dev,
             jnp.asarray(cam_pos, jnp.float32),
@@ -256,8 +259,17 @@ class InferencePipeline:
             jnp.asarray(offsets),
             self._occ,
         )
+        jax.block_until_ready(seen)
+        t1 = _time.time()
         vp_idx = np.nonzero(np.asarray(seen))[0]
-        return points[vp_idx], np.asarray(road)
+        out = points[vp_idx], np.asarray(road)
+        # per-call sub-stage attribution (read by bench.py's e2e extras):
+        # raycast = device march + vp compaction; host = bitmask fetch +
+        # nonzero + row select.  The volume build is cached per point set
+        # and therefore absent from steady-state frames.
+        self.vis_timings = {"raycast_ms": (t1 - t0) * 1e3,
+                            "host_ms": (_time.time() - t1) * 1e3}
+        return out
 
     def normalize_points(self, pts: np.ndarray, centers) -> np.ndarray:
         """[N, 5] -> [N, 9] with per-instance rel coords + batch idx

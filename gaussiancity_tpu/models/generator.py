@@ -505,6 +505,11 @@ class Generator(nn.Module):
                 desired_resolution=self.proj_size,
                 base_resolution=cfg.hash_grid_base_res,
                 log2_hashmap_size=cfg.hash_grid_map_size,
+                # GLOBAL broadcasts one scene code to every point, so the
+                # leading encoder dims are per-sample constants — enables
+                # the table-collapse fast path (ops/hash_grid.py)
+                n_const_dims=(cfg.encoder_out_dim - 3
+                              if cfg.encoder == "GLOBAL" else 0),
                 name="pos_encoder",
             )
             pt_feat1 = pos_encoder(pt_feat)

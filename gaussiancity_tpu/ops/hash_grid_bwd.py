@@ -111,13 +111,14 @@ def scatter_rows_sorted(
     n_rows: int,  # R_max (tiled table rows per level)
     n_channels: int,
     interpret: bool = False,
+    tile_sizes=None,  # optional (TR, U) override
 ) -> jnp.ndarray:
     """Returns per-level dense grads [L, T, C, TR] (row r of level l is
     [l, r // TR, :, r % TR])."""
     L, SUB, Mpad = uaug.shape
     C, Ca = n_channels, -(-n_channels // 8) * 8
     assert SUB == Ca + 8
-    TR, U = _tile_sizes()
+    TR, U = tile_sizes or _tile_sizes()
     assert n_rows % TR == 0
     assert Mpad % _ALIGN == 0 and Mpad % U == 0
     T = n_rows // TR
@@ -150,12 +151,13 @@ def hash_grad_embeddings(
     w: jnp.ndarray,  # [L, NC, N] f32 corner weights
     g_l: jnp.ndarray,  # [L, N, C] f32 upstream grads (oob already zeroed)
     n_rows: int,  # R_max: rows per level in the [L, R_max, C] table
+    tile_sizes=None,  # optional (TR, U) override (see _tile_sizes)
 ) -> jnp.ndarray:
     """Dense [L, n_rows, C] embedding gradient via sort + MXU one-hot."""
     L, NC, N = idx.shape
     C = g_l.shape[-1]
     M = NC * N
-    TR, U = _tile_sizes()
+    TR, U = tile_sizes or _tile_sizes()
     r_max = -(-n_rows // TR) * TR  # round up to tile multiple
     T = r_max // TR
     # pad so fixed-size aligned chunk DMAs stay in bounds
@@ -194,6 +196,7 @@ def hash_grad_embeddings(
     starts = jax.vmap(lambda a: jnp.searchsorted(a, bounds))(sk)
     starts = starts.astype(jnp.int32)
 
-    tiles = scatter_rows_sorted(uaug, starts, r_max, C)  # [L, T, C, TR]
+    tiles = scatter_rows_sorted(uaug, starts, r_max, C,
+                                tile_sizes=(TR, U))  # [L, T, C, TR]
     per_level = tiles.transpose(0, 1, 3, 2).reshape(L, r_max, C)
     return per_level[:, :n_rows]

@@ -476,6 +476,23 @@ def _gathered_bwd_rule(consts, grad_capacity, grad_budget, page, res, cts):
             jnp.zeros_like(origin_f), d_bg)
 
 
+def _reduce_rows_mxu(keys, rows, N):
+    """Sum ``rows`` [M, R] into ``out`` [N, R] by ``keys`` [M] int32.
+
+    XLA's TPU scatter-add is a serial per-row loop — at the headline
+    shape this stage measured 3.95 ms, the LARGEST rasterizer stage
+    (VERDICT r4 item 2).  This reuses the sorted one-hot MXU reduction
+    (ops/hash_grid_bwd.py, vs the reference's free-form atomicAdd at
+    backward.cu:547-578): deterministic AND faster.  Rows with key == N
+    land beyond the last table tile and are dropped."""
+    from gaussiancity_tpu.ops import hash_grid_bwd
+
+    M = keys.shape[0]
+    return hash_grid_bwd.hash_grad_embeddings(
+        keys.reshape(1, 1, M), jnp.ones((1, 1, M), jnp.float32),
+        rows[None], n_rows=N)[0]
+
+
 def scatter_packed_grads(grad_capacity, grad_budget, N, grads, idx, k_hi):
     """Reduce per-(tile, slot) packed grads [T, NC, R, page] to
     per-Gaussian rows [N, R] through the binning index (the VJP transpose
@@ -515,10 +532,14 @@ def scatter_packed_grads(grad_capacity, grad_budget, N, grads, idx, k_hi):
         rvalid = vpage[:, None] & (
             q_c[:, None] * page + jnp.arange(page)[None, :]
             < khi_c[:, None])
-        d_attrs16 = jnp.zeros((N, R), jnp.float32).at[
-            jnp.where(rvalid, i_pages, 0).reshape(-1)].add(
-            jnp.where(rvalid[..., None], g_pages, 0.0).reshape(-1, R),
-            mode="promise_in_bounds")
+        rows = jnp.where(rvalid[..., None], g_pages, 0.0).reshape(-1, R)
+        if jax.default_backend() == "tpu":
+            d_attrs16 = _reduce_rows_mxu(
+                jnp.where(rvalid, i_pages, N).reshape(-1), rows, N)
+        else:
+            d_attrs16 = jnp.zeros((N, R), jnp.float32).at[
+                jnp.where(rvalid, i_pages, 0).reshape(-1)].add(
+                rows, mode="promise_in_bounds")
     else:
         kb = _grad_slots(grad_capacity, K)
         ncb = -(-kb // page)  # slice whole pages

@@ -156,7 +156,11 @@ def ray_voxel_intersection(
     occupancy=None,  # optional prebuilt pack_occupancy(volume)
     n_bands: int = 16,  # independent row-band loops (see below)
     order: str | None = None,  # None = image rows; "cost" = sorted march
-    return_band_iters: bool = False,  # also return (iters, live) per band
+    # return_band_iters: also return (band_iters, band_live), each of
+    # length bands * (n_compaction_stages + 1) in PHASE-MAJOR layout:
+    # all bands of phase 0 (up to the first compaction point), then all
+    # bands of phase 1, ... (debug/bench flag; scripts/bench_raycast_tail)
+    return_band_iters: bool = False,
     compact_after=(64, 96),  # compaction iteration(s): int | tuple | None
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
@@ -260,7 +264,16 @@ def ray_voxel_intersection(
     ro = [ro[i] + t_skip * rd[i] for i in range(3)]
 
     if max_steps is None:
-        max_steps = h + w + d + 3
+        # budget the hierarchy's non-advancing iterations on top of the
+        # h+w+d cell crossings: one parent test per 8/64-block entry, up
+        # to 2 descend steps per hit block, and ~2 re-test iterations per
+        # compaction stage (lvl/blk reset) — without this headroom a thin
+        # volume (small d) could exhaust the cap on a dense fine march
+        # and silently report live rays as misses (ADVICE r4)
+        n_stages = len(compact_after or ()) if not isinstance(
+            compact_after, int) else 1
+        max_steps = (h + w + d + 3
+                     + 4 * ((h + w) // COARSE + 2) + 3 * n_stages)
 
     # Optional cost-sorted scheduling (``order="cost"``): sorts rays by a
     # closed-form march-length proxy so bands are cost-homogeneous.
@@ -507,7 +520,9 @@ def ray_voxel_intersection(
     points = compact_after
     if points is not None and not isinstance(points, (tuple, list)):
         points = (points,)
-    points = tuple(sorted(p for p in (points or ()) if 0 < p < max_steps))
+    # set-dedup: a repeated point would run a zero-iteration phase that
+    # still pays two full 9-payload sorts over all R rays (ADVICE r4)
+    points = tuple(sorted({p for p in (points or ()) if 0 < p < max_steps}))
     bands = max(1, min(n_bands, R))
     iota = jnp.arange(R, dtype=jnp.int32)
     state = state0

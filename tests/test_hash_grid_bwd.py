@@ -141,3 +141,114 @@ class TestHashEncodeCustomVJP:
         v, g = jax.value_and_grad(loss, argnums=1)(x, emb)
         assert np.isfinite(float(v))
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestHashEncodeConstFastPath:
+    """Table-collapse fast path (constant leading dims) vs generic path."""
+
+    def _shapes(self):
+        # all levels hashed into the same power-of-two table (the REST
+        # structural condition, scaled down): D=5, corners 5^5 > 2^9
+        D, L, C, base, desired, lg, Dc = 5, 4, 8, 4, 16, 9, 2
+        from gaussiancity_tpu.ops.hash_grid import const_fast_path_ok
+        assert const_fast_path_ok(D, L, base, desired, lg, Dc)
+        return D, L, C, base, desired, lg, Dc
+
+    def _inputs(self, D, Dc, B=2, N=193, seed=0):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        const = jax.random.uniform(k1, (B, 1, Dc), minval=-0.9, maxval=0.9)
+        spatial = jax.random.uniform(k2, (B, N, D - Dc), minval=-0.95,
+                                     maxval=0.95)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(const, (B, N, Dc)), spatial], -1)
+        # one oob point (spatial dims only — const dims must stay
+        # constant across N, that is the fast path's caller contract)
+        return x.at[0, 0, Dc:].set(jnp.full((D - Dc,), 1.7))
+
+    def test_forward_matches_generic(self):
+        from gaussiancity_tpu.ops.hash_grid import hash_encode_const
+        D, L, C, base, desired, lg, Dc = self._shapes()
+        x = self._inputs(D, Dc)
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1),
+            table_shape(D, L, base, desired, lg, C)) * 0.1
+        fast = hash_encode_const(x, emb, D, L, base, desired, lg, 1.0, Dc)
+        B, N = x.shape[:2]
+        ref = hash_encode(x.reshape(B * N, D), emb, D, L, base, desired,
+                          lg).reshape(B, N, L * C)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(jnp.abs(fast[0, 0]).max()) == 0.0  # oob -> 0
+
+    def test_grads_match_generic(self):
+        from gaussiancity_tpu.ops.hash_grid import hash_encode_const
+        D, L, C, base, desired, lg, Dc = self._shapes()
+        x = self._inputs(D, Dc, B=1, N=211, seed=3)
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1),
+            table_shape(D, L, base, desired, lg, C)) * 0.1
+        g = jax.random.normal(jax.random.PRNGKey(2),
+                              (1, 211, L * C))
+
+        gx, ge = jax.grad(
+            lambda xx, ee: jnp.sum(hash_encode_const(
+                xx, ee, D, L, base, desired, lg, 1.0, Dc) * g),
+            argnums=(0, 1))(x, emb)
+        B, N = x.shape[:2]
+        gxo, geo = jax.grad(
+            lambda xx, ee: jnp.sum(hash_encode(
+                xx.reshape(B * N, D), ee, D, L, base, desired,
+                lg).reshape(B, N, -1) * g),
+            argnums=(0, 1))(x, emb)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(geo),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gxo),
+                                   rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx[0, 0]), 0.0)  # oob
+
+    def test_xor_perm(self):
+        from gaussiancity_tpu.ops.hash_grid import (_from_cm, _to_cm,
+                                                    _xor_perm_cm)
+        L, R, C = 3, 256, 4
+        X = jax.random.normal(jax.random.PRNGKey(0), (L, R, C))
+        m = jnp.asarray([0, 255, 137], jnp.int32)
+        out = _from_cm(_xor_perm_cm(_to_cm(X), m))
+        want = np.stack([np.asarray(X[l])[np.arange(R) ^ int(m[l])]
+                         for l in range(L)])
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6,
+                                   atol=1e-7)
+
+    def test_grid_encoder_dispatch(self):
+        # GridEncoder(n_const_dims=2) returns the same values as the
+        # generic module at identical params
+        from gaussiancity_tpu.ops.hash_grid import GridEncoder
+        D, L, C, base, desired, lg, Dc = self._shapes()
+        x = self._inputs(D, Dc, B=1, N=65, seed=7)
+        enc = GridEncoder(in_channels=D, n_levels=L, lvl_channels=C,
+                          desired_resolution=desired, base_resolution=base,
+                          log2_hashmap_size=lg, n_const_dims=Dc)
+        enc0 = GridEncoder(in_channels=D, n_levels=L, lvl_channels=C,
+                          desired_resolution=desired, base_resolution=base,
+                          log2_hashmap_size=lg)
+        params = enc.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(enc.apply(params, x)),
+            np.asarray(enc0.apply(params, x)), rtol=1e-5, atol=1e-6)
+
+
+class TestReduceRowsMXU:
+    def test_matches_scatter(self):
+        # the rasterizer grad-scatter reduction (blend._reduce_rows_mxu):
+        # keys == N are dropped; duplicates sum; runs in interpret mode
+        from gaussiancity_tpu.ops.rasterizer.blend import _reduce_rows_mxu
+        M, N, R = 513, 96, 16
+        rng = np.random.default_rng(0)
+        keys = jnp.asarray(rng.integers(0, N + 1, M), jnp.int32)  # incl N
+        rows = jnp.asarray(rng.normal(size=(M, R)), jnp.float32)
+        got = _reduce_rows_mxu(keys, rows, N)
+        want = np.zeros((N, R), np.float32)
+        for k, r in zip(np.asarray(keys), np.asarray(rows)):
+            if k < N:
+                want[k] += r
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                                   atol=1e-4)

@@ -372,3 +372,36 @@ class TestRPEAndShuffle:
                           rngs={"shuffle": jax.random.PRNGKey(4)})
         assert out.shape[0] == 2
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestSubmNeighborsDense:
+    def test_matches_sorted_merge(self):
+        from gaussiancity_tpu.models.ptv3 import (subm_neighbors,
+                                                  subm_neighbors_dense)
+        rng = np.random.default_rng(0)
+        N = 500
+        # duplicates on purpose: co-voxel points must resolve to the
+        # lowest index in BOTH paths (stable merge == scatter-min)
+        gc = jnp.asarray(rng.integers(0, 12, (N, 3)), jnp.int32)
+        valid = jnp.asarray(rng.random(N) > 0.1)
+        for k in (3, 5):
+            nb_m, fnd_m = subm_neighbors(gc, valid, k, 10)
+            nb_d, fnd_d, ovf = subm_neighbors_dense(gc, valid, k, 10,
+                                                    extent=16)
+            assert int(ovf) == 0
+            np.testing.assert_array_equal(np.asarray(fnd_d),
+                                          np.asarray(fnd_m))
+            f = np.asarray(fnd_m)
+            np.testing.assert_array_equal(np.asarray(nb_d)[f],
+                                          np.asarray(nb_m)[f])
+
+    def test_overflow_counted(self):
+        from gaussiancity_tpu.models.ptv3 import subm_neighbors_dense
+        gc = jnp.asarray([[0, 0, 0], [20, 3, 3], [1, 1, 1]], jnp.int32)
+        valid = jnp.ones((3,), bool)
+        _, fnd, ovf = subm_neighbors_dense(gc, valid, 3, 10, extent=16)
+        assert int(ovf) == 1  # the out-of-extent point
+        # the center offset (k^3 // 2) finds every in-extent point
+        center = 27 // 2
+        assert bool(fnd[center, 0]) and bool(fnd[center, 2])
+        assert not bool(fnd[center, 1])  # overflowed point missed

@@ -56,3 +56,86 @@ class TestShardedRasterizer:
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4,
                 err_msg=f"sharded grad mismatch: {name}")
+
+
+class TestShardedFrame:
+    def test_inference_composition_matches_single_device(self):
+        # compact REST+BLDG buckets -> point-sharded generators ->
+        # tile-sharded rasterizer == the same attrs + single rasterize
+        # (VERDICT r4 item 6: multi-chip inference parity)
+        import __graft_entry__ as ge
+        from gaussiancity_tpu.camera import CameraModel
+        from gaussiancity_tpu.inference.pipeline import InferencePipeline
+        from gaussiancity_tpu.models import Generator
+        from gaussiancity_tpu.parallel.sharded_infer import (
+            make_sharded_frame, unpack_points14)
+
+        n_dev = len(jax.devices())
+        mesh = jax.make_mesh((n_dev,), ("tile",))
+        img = ge._dryrun_sharded_inference(mesh, n_dev)
+        assert np.isfinite(np.asarray(img)).all()
+
+        # explicit parity on a fresh tiny composition
+        cfg = ge._tiny_cfg("xla")
+        cfg_b = ge._tiny_cfg("xla", ptv3=True)
+        P = cfg.dataset.proj_size
+        ncls = cfg.dataset.n_classes
+
+        def init_gen(net_cfg, seed, z_dim):
+            gen = Generator(cfg=net_cfg, n_classes=ncls, proj_size=P)
+            variables = gen.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 64, 2)),
+                jnp.zeros((1, 64, 3)), None, jnp.zeros((1, 64, ncls)),
+                jnp.zeros((1, 64, z_dim)) if z_dim else None,
+                jnp.zeros((1, P, P, 1)), jnp.zeros((1, P, P, ncls)),
+                jnp.ones((1, 64), bool))
+            return gen, dict(variables)
+
+        pipe = InferencePipeline(
+            cfg, {"REST": init_gen(cfg.network, 0, None),
+                  "BLDG": init_gen(cfg_b.network, 1, cfg_b.network.z_dim)},
+            max_points=512)
+        W, H = 256, 8 * n_dev
+        cam = CameraModel(
+            np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]]),
+            (W, H)).params(np.zeros(3), np.array([0, 0, 0, 1.0]))
+        frame = make_sharded_frame(mesh, pipe, cam, cfg.rasterizer)
+
+        rng = np.random.default_rng(3)
+
+        def bucket(slab, count, lo, hi):
+            pts9 = np.zeros((slab, 9), np.float32)
+            pts9[:, 0] = rng.uniform(5, 30, slab)
+            pts9[:, 1] = rng.uniform(-10, 10, slab)
+            pts9[:, 2] = rng.uniform(-3, 3, slab)
+            pts9[:, 3] = 1.0
+            pts9[:, 4] = rng.integers(lo, hi, slab)
+            pts9[:, 5:8] = rng.uniform(-1, 1, (slab, 3))
+            return jnp.asarray(pts9), count
+
+        buckets = {"REST": bucket(8 * n_dev, 6 * n_dev, 1, 8),
+                   "BLDG": bucket(16 * n_dev, 12 * n_dev, 100, 1024)}
+        lut = jnp.asarray(rng.random(
+            (2048, cfg_b.network.z_dim)).astype(np.float32))
+        proj_hf = jnp.zeros((P, P, 1))
+        proj_seg = jnp.zeros((P, P, ncls))
+        bg = jnp.zeros(3)
+        img_sharded = frame(buckets, proj_hf, proj_seg, lut, bg)
+
+        # single-device reference: same jittable attr stage, one device
+        from gaussiancity_tpu.ops.rasterizer import rasterize
+        gs_parts, mask_parts = [], []
+        for name in pipe.models:
+            pts9_c, n_c = buckets[name]
+            mask_c = jnp.arange(pts9_c.shape[0]) < n_c
+            gs_parts.append(pipe.predict_attrs_single(
+                name, dict(pipe.models[name][1]), pts9_c, mask_c,
+                proj_hf, proj_seg, None, lut))
+            mask_parts.append(mask_c)
+        gs = jnp.concatenate(gs_parts, 0)
+        mask = jnp.concatenate(mask_parts, 0)
+        means, opac, scales, quats, colors = unpack_points14(gs)
+        ref = rasterize(means, opac, scales, quats, colors, cam,
+                        cfg.rasterizer, valid=mask, bg=bg).image
+        np.testing.assert_allclose(np.asarray(img_sharded),
+                                   np.asarray(ref), atol=3e-5, rtol=1e-4)
