@@ -232,10 +232,12 @@ class InferencePipeline:
             import functools
 
             def vis_compact(vol, pts, cpos, cquat, offsets, occupancy):
-                """Raycast + on-device compaction: fetch a [N] visible
-                bitmask (0.6 MB) + [H, W] road bitmask (0.5 MB) instead
-                of two [H, W] int32 id maps (~4 MB) — device->host bytes
-                dominate per-frame visibility over a remote link."""
+                """Raycast + on-device compaction: fetch a [N/8] PACKED
+                visible bitmask (~75 KB) instead of two [H, W] int32 id
+                maps (~4 MB) — device->host bytes dominate per-frame
+                visibility over a remote link.  The road mask never
+                leaves the device: the frame fn consumes it directly
+                (it was measured round-tripping 0.5 MB out and back)."""
                 vp_map, ins_map = vis.visible_from_volume(
                     vol, pts, cpos, cquat,
                     cam_f=float(K[0, 0]),
@@ -246,23 +248,27 @@ class InferencePipeline:
                 seen = jnp.zeros((n + 2,), bool).at[
                     (vp_map + 1).reshape(-1)].set(
                     True, mode="promise_in_bounds")
-                return seen[2:], ins_map == 1  # ROAD class id
+                return jnp.packbits(seen[2:]), ins_map == 1  # ROAD cls id
 
             self._vis_fn = jax.jit(vis_compact)
         import time as _time
 
         t0 = _time.time()
-        seen, road = self._vis_fn(
+        seen_bits, road = self._vis_fn(
             self._vol, self._pts_dev,
             jnp.asarray(cam_pos, jnp.float32),
             jnp.asarray(cam_quat, jnp.float32),
             jnp.asarray(offsets),
             self._occ,
         )
-        jax.block_until_ready(seen)
+        jax.block_until_ready(seen_bits)
         t1 = _time.time()
-        vp_idx = np.nonzero(np.asarray(seen))[0]
-        out = points[vp_idx], np.asarray(road)
+        seen = np.unpackbits(np.asarray(seen_bits), count=len(points))
+        vp_idx = np.nonzero(seen)[0]
+        # road stays a DEVICE array: every consumer feeds it back to the
+        # jitted frame fn (np.asarray(road) still works if a caller needs
+        # it on host)
+        out = points[vp_idx], road
         # per-call sub-stage attribution (read by bench.py's e2e extras):
         # raycast = device march + vp compaction; host = bitmask fetch +
         # nonzero + row select.  The volume build is cached per point set

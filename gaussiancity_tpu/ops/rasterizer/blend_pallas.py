@@ -59,6 +59,8 @@ def default_page() -> int:
     return 128 if jax.default_backend() == "tpu" else 16
 ROW_MX, ROW_MY, ROW_CA, ROW_CB, ROW_CC, ROW_OP, ROW_CR, ROW_CG, ROW_CB2 = range(9)
 ROW_RD = 9  # screen radius (int-valued f32) — feeds the 16x16 ref gate
+ROW_GM = 10  # per-(tile, slot) 16x16-block gate bitmask (stamped by the
+#              wrappers from ROW_MX/MY/RD; see _stamp_gate_mask)
 
 
 def _use_interpret() -> bool:
@@ -150,13 +152,18 @@ def _slot_values(consts, attrs, j, k, count, px, py, gate=None):
     attributes are scalar lane extracts. Returns (alpha_e [VS,VL] with
     ineligible pixels zeroed, G, dx, dy).
 
-    ``gate`` = (bx16, by16) pixel-block planes enables the reference's
-    16x16-block rect test: the CUDA renderer only lets a Gaussian touch
-    pixels whose 16x16 block lies inside its getRect() bbox
-    (rasterizer_impl.cu:64-99 + auxiliary.h:36-46), so fringe pixels with
-    alpha >= 1/255 just OUTSIDE the bbox blend iff their block is inside.
-    Gating here makes the render bit-comparable to the reference (and
-    independent of this kernel's own tile shape)."""
+    ``gate`` = the per-pixel block BITPLANE (int32 [VS, VL], bit index =
+    the pixel's 16x16 sensor block within the tile's covered block grid;
+    see _gate_bitplane) enables the reference's 16x16-block rect test:
+    the CUDA renderer only lets a Gaussian touch pixels whose 16x16
+    block lies inside its getRect() bbox (rasterizer_impl.cu:64-99 +
+    auxiliary.h:36-46), so fringe pixels with alpha >= 1/255 just
+    OUTSIDE the bbox blend iff their block is inside.  The per-slot rect
+    test is precomputed into a bitmask (attrs row ROW_GM, stamped by
+    _stamp_gate_mask): the in-loop cost drops from 4 vector compares +
+    3 ands to one and + one compare.  Gating makes the render
+    bit-comparable to the reference (and independent of this kernel's
+    own tile shape)."""
     mx = attrs[ROW_MX, j]
     my = attrs[ROW_MY, j]
     ca = attrs[ROW_CA, j]
@@ -170,19 +177,63 @@ def _slot_values(consts, attrs, j, k, count, px, py, gate=None):
     alpha = jnp.minimum(consts.alpha_max, op * G)
     eligible = (k < count) & (power <= 0.0) & (alpha >= consts.alpha_min)
     if gate is not None:
-        bx16, by16 = gate
-        rd = attrs[ROW_RD, j]
-        # getRect in f32: all quantities are exact small ints; /16 is an
-        # exact power-of-two scale, floor == the reference's (int) trunc
-        # wherever the bound can gate a pixel (bx16 >= 0).
-        xlo = jnp.floor((mx - rd) * 0.0625)
-        xhi = jnp.floor((mx + rd + 15.0) * 0.0625)
-        ylo = jnp.floor((my - rd) * 0.0625)
-        yhi = jnp.floor((my + rd + 15.0) * 0.0625)
-        eligible &= ((bx16 >= xlo) & (bx16 < xhi)
-                     & (by16 >= ylo) & (by16 < yhi))
+        gm = attrs[ROW_GM, j].astype(jnp.int32)  # exact small int in f32
+        eligible &= (gate & gm) != 0
     alpha_e = jnp.where(eligible, alpha, 0.0)
     return alpha_e, G, dx, dy
+
+
+def _gate_bitplane(consts, px, py, x0, y0):
+    """Per-pixel block BITPLANE for the 16x16 ref gate: int32 (VS, VL)
+    with the single bit (bxi + nbx*byi) set, where (bxi, byi) is the
+    pixel's 16x16 sensor block relative to the tile's base block.
+    Integer shift, NOT exp2: f32 exp2(15.0) truncates to 32767 under
+    astype(int32) (exp2 is not exact at integer inputs)."""
+    nbx = (consts.tile_w - 1) // 16 + 2  # covered blocks incl. straddle
+    bxi = (jnp.floor(px * 0.0625) - jnp.floor(x0 * 0.0625)).astype(
+        jnp.int32)
+    byi = (jnp.floor(py * 0.0625) - jnp.floor(y0 * 0.0625)).astype(
+        jnp.int32)
+    return jnp.left_shift(jnp.int32(1), bxi + nbx * byi)
+
+
+def _stamp_gate_mask(consts: BlendConsts, n_tx: int, attrs: jnp.ndarray,
+                     origin) -> jnp.ndarray:
+    """Precompute the reference 16x16-block rect test into a per-(tile,
+    slot) bitmask (attrs row ROW_GM): bit (bxi + nbx*byi) is set iff
+    sensor block (bx0 + bxi, by0 + byi) of tile t lies inside the
+    slot's getRect() bbox (same f32 formulas as the previous in-loop
+    test — all quantities exact small ints; mask < 2^18 is f32-exact).
+    Turns the per-slot in-loop gate from 4 compares + 3 ands into one
+    and + one compare (measured ~2 ms fwd + 2 ms bwd per train render
+    at the headline scene before this)."""
+    T, NC, _, CHUNK = attrs.shape
+    TW, TH = consts.tile_w, consts.tile_h
+    # covered 16x16 blocks per axis incl. the unaligned straddle (an
+    # 8-row tile at y0 = 12 touches two block rows); max mask bit is
+    # nbx*nby - 1 <= 17 (8x128 tiles), so the f32 mask stays exact
+    nbx, nby = (TW - 1) // 16 + 2, (TH - 1) // 16 + 2
+    ti = jnp.arange(T, dtype=jnp.int32)
+    x0 = (ti % n_tx).astype(jnp.float32) * TW + origin[0]
+    y0 = (ti // n_tx).astype(jnp.float32) * TH + origin[1]
+    bx0 = jnp.floor(x0 * 0.0625)[:, None, None]
+    by0 = jnp.floor(y0 * 0.0625)[:, None, None]
+    mx = attrs[:, :, ROW_MX]
+    my = attrs[:, :, ROW_MY]
+    rd = attrs[:, :, ROW_RD]
+    xlo = jnp.floor((mx - rd) * 0.0625)
+    xhi = jnp.floor((mx + rd + 15.0) * 0.0625)
+    ylo = jnp.floor((my - rd) * 0.0625)
+    yhi = jnp.floor((my + rd + 15.0) * 0.0625)
+    mask = jnp.zeros_like(mx)
+    for byi in range(nby):
+        for bxi in range(nbx):
+            bx = bx0 + float(bxi)
+            by = by0 + float(byi)
+            inr = (bx >= xlo) & (bx < xhi) & (by >= ylo) & (by < yhi)
+            mask = mask + inr.astype(jnp.float32) * float(
+                1 << (bxi + nbx * byi))
+    return attrs.at[:, :, ROW_GM].set(mask)
 
 
 def _fwd_kernel(consts: BlendConsts, n_tx: int,
@@ -204,7 +255,7 @@ def _fwd_kernel(consts: BlendConsts, n_tx: int,
     x0 = ((pid % n_tx) * TW).astype(jnp.float32) + origin_ref[0]
     y0 = ((pid // n_tx) * TH).astype(jnp.float32) + origin_ref[1]
     px, py = _pixel_iotas(consts, x0, y0)
-    gate = ((jnp.floor(px * 0.0625), jnp.floor(py * 0.0625))
+    gate = (_gate_bitplane(consts, px, py, x0, y0)
             if consts.ref_gate else None)
 
     def chunk_body(state):
@@ -265,6 +316,8 @@ def blend_tiles_pallas_fwd(
     VS, VL = _vreg_shape(consts)
     if origin is None:
         origin = jnp.zeros((2,), jnp.float32)
+    if consts.ref_gate:
+        attrs = _stamp_gate_mask(consts, n_tx, attrs, origin)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -316,7 +369,7 @@ def _bwd_kernel(consts: BlendConsts, n_tx: int,
     x0 = ((pid % n_tx) * TW).astype(jnp.float32) + origin_ref[0]
     y0 = ((pid // n_tx) * TH).astype(jnp.float32) + origin_ref[1]
     px, py = _pixel_iotas(consts, x0, y0)
-    gate = ((jnp.floor(px * 0.0625), jnp.floor(py * 0.0625))
+    gate = (_gate_bitplane(consts, px, py, x0, y0)
             if consts.ref_gate else None)
     # tile-CENTERED pixel coords for the moment basis: px can reach the
     # sensor width, and centered moments minimize the recombination
@@ -493,6 +546,8 @@ def blend_tiles_pallas_bwd(
     VS, VL = _vreg_shape(consts)
     if origin is None:
         origin = jnp.zeros((2,), jnp.float32)
+    if consts.ref_gate:
+        attrs = _stamp_gate_mask(consts, n_tx, attrs, origin)
     g_out = _spatial_to_vreg(g_out, consts)
     bg_dot_g = _spatial_to_vreg(bg_dot_g, consts)
     final_T = _spatial_to_vreg(final_T, consts)

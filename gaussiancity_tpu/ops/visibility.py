@@ -88,7 +88,14 @@ class RaycastResult(NamedTuple):
     raydirs: jnp.ndarray  # [H, W, 3]
 
 
-COARSE = 8  # coarse column block edge (xy cells per block); power of two
+# Coarse column block edge (xy cells per block-level; the hierarchy is
+# 1 / COARSE / COARSE^2); power of two.  Measured on chip (r5, 512^2x192
+# tune scene, 518k rays): COARSE=4 (1/4/16 blocks) beats COARSE=8
+# (1/8/64) 301 -> 284 ms at the default schedule and 301 -> 258 ms with
+# the denser compaction schedule below — street-canyon rays are the
+# march tail, and 4-cell blocks stay empty down a ~12-cell-wide road
+# where 8-cell blocks are polluted by the flanking buildings.
+COARSE = 4
 
 
 def _bitpack(occ: jnp.ndarray):
@@ -107,10 +114,10 @@ def _bitpack(occ: jnp.ndarray):
 
 def pack_occupancy(volume: jnp.ndarray):
     """(occ_words [h, w, ceil(d/32)] uint32 per-column z-bitmasks, ztop
-    f32 — 1 + highest occupied z, coarse_cols [ceil(h/8), ceil(w/8),
-    ceil(d/32)] uint32 — the bitwise OR of each 8x8 xy block's columns,
-    coarse2_cols [ceil(h/64), ceil(w/64), ceil(d/32)] — the OR of each
-    64x64 block).
+    f32 — 1 + highest occupied z, coarse_cols [ceil(h/C), ceil(w/C),
+    ceil(d/32)] uint32 — the bitwise OR of each CxC xy block's columns
+    (C = COARSE), coarse2_cols [ceil(h/C^2), ceil(w/C^2), ceil(d/32)] —
+    the OR of each C^2xC^2 block).
 
     The coarse tables keep FULL z resolution (only xy is coarsened): a
     ray's z-span test against a coarse column is exact per block, so a
@@ -161,7 +168,11 @@ def ray_voxel_intersection(
     # all bands of phase 0 (up to the first compaction point), then all
     # bands of phase 1, ... (debug/bench flag; scripts/bench_raycast_tail)
     return_band_iters: bool = False,
-    compact_after=(64, 96),  # compaction iteration(s): int | tuple | None
+    # compaction iteration(s): int | tuple | None.  Swept on chip at
+    # COARSE=4 (r5): (48, 96, 192, 384) 258 ms vs (64, 96) 284 — the
+    # finer blocks shift work into more, cheaper iterations, so earlier
+    # + deeper compaction pays.
+    compact_after=(48, 96, 192, 384),
 ) -> RaycastResult:
     """First-hit DDA raycast (ray_voxel_intersection.cu, N_MAX_SAMPLES=1).
 
@@ -201,11 +212,12 @@ def ray_voxel_intersection(
 
     Measured on chip (512x512x192 volume, 518k rays, synthetic city):
     593 ms (3-D supervoxel two-phase rounds, round 3) -> 446 ms
-    (two-level column march) -> 440 ms (this three-level machine — a tie
-    at 512^2 xy, where only an 8x8 grid of 64x64 blocks exists; the
-    third level is kept for larger footprints, where 64-cell skips
-    shorten horizon rays).  The march is gather-bound (~95% of the cost
-    is the per-step occupancy row fetch), so ray order must stay
+    (two-level column march) -> 440 ms (three-level machine at
+    COARSE=8) -> 301 ms (survivor compaction, round 4) -> **258 ms**
+    (round 5: COARSE=4 blocks + the (48, 96, 192, 384) compaction
+    schedule — street-canyon rays no longer descend to fine cells at
+    every flanked road block).  The march is gather-bound (~95% of the
+    cost is the per-step occupancy row fetch), so ray order must stay
     image-coherent (see ``order``).
     """
     h, w, d = volume.shape
@@ -627,7 +639,7 @@ def visible_from_volume(
     occupancy=None,  # optional prebuilt pack_occupancy(vol)
     n_bands: int = 16,
     order: str | None = None,
-    compact_after=(64, 96),
+    compact_after=(48, 96, 192, 384),
 ):
     """Raycast against a prebuilt id volume (the volume depends only on
     the points: trajectory renderers build it once and raycast per frame)."""

@@ -227,6 +227,31 @@ class TestRefGate:
             np.testing.assert_allclose(img, ref, atol=3e-6, rtol=1e-5,
                                        err_msg=str(key))
 
+    def test_gate_windowed_unaligned_origin(self):
+        # window origins that are NOT multiples of 16 make compute tiles
+        # straddle 16x16 block rows/cols (an 8-row tile at y0 = 12
+        # touches two block rows) — the gate bitmask must enumerate the
+        # straddle block (blend_pallas._stamp_gate_mask nbx/nby) and the
+        # windowed render must still equal the full render's crop
+        cam = make_camera(W=256, H=64)
+        scene = make_scene(jax.random.PRNGKey(3), n=512)
+        x0, y0, Wc, Hc = 92, 12, 128, 32
+        for th, tw in ((8, 128), (32, 32)):
+            for backend in ("xla", "pallas"):
+                cfg = RasterizerConfig(
+                    tile_h=th, tile_w=tw, max_tiles_per_gaussian=64,
+                    tile_capacity=512, backend=backend,
+                    ref_tile16_gate=True)
+                full = rasterize(*scene, cam, cfg)
+                win = rasterize(*scene, cam, cfg,
+                                window=(jnp.int32(x0), jnp.int32(y0),
+                                        Wc, Hc))
+                np.testing.assert_allclose(
+                    np.asarray(win.image),
+                    np.asarray(full.image[:, y0:y0 + Hc, x0:x0 + Wc]),
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"{(th, tw, backend)}")
+
     def test_gate_off_depends_on_tile_shape(self):
         # the converse: without the gate the tile-rect fringe is
         # observable (documents WHY the gate exists)
